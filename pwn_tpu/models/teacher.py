@@ -1,0 +1,104 @@
+"""Teacher WaveNet: autoregressive mel-conditioned model with MoL head.
+
+Reference parity: the AR density model the reference's student is meant to
+be distilled from (`models.py` [R]; SURVEY.md §8 "Teacher").  Training is a
+single full-parallel teacher-forcing pass (all timesteps at once — one big
+batched conv stack on the MXU); only sampling is sequential, and that lives
+in models/sampling.py (naive + Fast-WaveNet conv-queue scan paths).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pwn_tpu.config import Config
+from pwn_tpu.models.modules import UpsampleNet, WaveNetStack, shift_right_scalar
+from pwn_tpu.ops import mol
+
+
+class TeacherWaveNet(nn.Module):
+    """p(x_t | x_<t, mel) with a discretized-MoL head.
+
+    __call__(wav, mel) runs the teacher-forcing pass and returns per-step
+    MoL params (B, T, 3*n_mixtures); `condition(mel)` exposes the upsampled
+    conditioning for the AR sampling loop.
+    """
+
+    config: Config
+
+    def setup(self):
+        tc = self.config.teacher
+        dtype = jnp.dtype(tc.compute_dtype)
+        self.upsample = UpsampleNet(
+            strides=tc.upsample_strides,
+            channels=self.config.dsp.n_mels,
+            kernel_mult=tc.upsample_kernel_mult,
+            dtype=dtype,
+            name="upsample",
+        )
+        self.stack = WaveNetStack(
+            dilations=tc.dilations,
+            residual_channels=tc.residual_channels,
+            gate_channels=tc.gate_channels,
+            skip_channels=tc.skip_channels,
+            out_dim=3 * tc.n_mixtures,
+            kernel_size=tc.kernel_size,
+            dtype=dtype,
+            name="stack",
+        )
+
+    def condition(self, mel: jax.Array) -> jax.Array:
+        """(B, F, n_mels) mel frames -> (B, F*hop, n_mels) per-sample cond."""
+        return self.upsample(mel)
+
+    def params_from_cond(self, wav: jax.Array, cond: jax.Array) -> jax.Array:
+        """Teacher-forcing pass given precomputed conditioning.
+
+        wav (B, T) in [-1,1]; cond (B, T, n_mels). Returns MoL params
+        (B, T, 3K) — params[t] models x[t] given x[<t].
+        """
+        x_prev = shift_right_scalar(wav)
+        return self.stack(x_prev, cond)
+
+    def __call__(self, wav: jax.Array, mel: jax.Array) -> jax.Array:
+        cond = self.condition(mel)
+        cond = _match_length(cond, wav.shape[-1])
+        return self.params_from_cond(wav, cond)
+
+    def loss(self, wav: jax.Array, mel: jax.Array) -> jax.Array:
+        """Mean discretized-MoL NLL (nats/sample), fp32."""
+        params = self(wav, mel)
+        return mol.discretized_mol_loss(
+            wav, params, log_scale_min=self.config.teacher.log_scale_min
+        )
+
+
+def _match_length(cond: jax.Array, T: int) -> jax.Array:
+    """Crop/pad upsampled conditioning to exactly T samples.
+
+    With centered STFT there are T//hop + 1 frames; the model consumes
+    T//hop frames upsampled by hop (== T).  Any residual mismatch is
+    clipped here so all shapes stay static under jit.
+    """
+    Tc = cond.shape[1]
+    if Tc == T:
+        return cond
+    if Tc > T:
+        return cond[:, :T]
+    return jnp.pad(cond, ((0, 0), (0, T - Tc), (0, 0)), mode="edge")
+
+
+def make_teacher(config: Config) -> TeacherWaveNet:
+    return TeacherWaveNet(config=config)
+
+
+def init_teacher(config: Config, rng: jax.Array):
+    """Initialize teacher params on tiny shapes (shape-polymorphic convs)."""
+    model = make_teacher(config)
+    hop = config.dsp.hop_length
+    T = 4 * hop
+    wav = jnp.zeros((1, T), jnp.float32)
+    mel = jnp.zeros((1, T // hop, config.dsp.n_mels), jnp.float32)
+    return model, model.init(rng, wav, mel)
