@@ -1,0 +1,202 @@
+"""Benchmark suite (SURVEY.md §6: primary metric = audio-seconds/s per
+chip for student IAF inference; secondary = teacher train utterances/s).
+
+Measurement methodology, forced by the axon tunnel platform:
+
+* `block_until_ready` does NOT synchronize on this platform (execution is
+  deferred until a host transfer), so every timed region is forced by a
+  scalar device->host transfer of a checksum that depends on the full
+  computation;
+* each sync costs a ~30 ms tunnel round-trip, so N iterations are CHAINED
+  inside one jitted `fori_loop` (data-dependent through an accumulator) and
+  a single transfer closes the chain; the measured round-trip latency is
+  subtracted once;
+* reported numbers are the best of a few chain repetitions (steady-state,
+  post-compile).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwn_tpu.config import Config, get_config
+from pwn_tpu.data import SyntheticTones, make_train_iterator
+from pwn_tpu.models import sampling
+from pwn_tpu.models.student import init_student
+from pwn_tpu.models.teacher import init_teacher
+from pwn_tpu.parallel import make_mesh, shard_batch
+from pwn_tpu.training.common import create_train_state, make_optimizer
+from pwn_tpu.training.teacher import prepare_batch
+
+
+def _force(x) -> float:
+    """Synchronize by transferring a scalar to host."""
+    return float(np.asarray(x))
+
+
+def measure_round_trip_ms(reps: int = 5) -> float:
+    x = jnp.ones((8, 8))
+    f = jax.jit(lambda a: a.sum())
+    _force(f(x))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _force(f(x))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def _time_chain(chain_fn, n_iters: int, reps: int = 3,
+                rtt_ms: float | None = None) -> float:
+    """Best per-iteration seconds for a jitted chain of n_iters steps."""
+    _force(chain_fn())  # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(chain_fn())
+        best = min(best, time.perf_counter() - t0)
+    if rtt_ms is not None:
+        best = max(best - rtt_ms / 1e3, 1e-9)
+    return best / n_iters
+
+
+def measure_student_inference(
+    cfg: Config, batch: int = 8, seconds: float = 2.0, n_iters: int = 8
+) -> Dict[str, Any]:
+    """Student parallel synthesis throughput: audio-seconds/s per chip."""
+    sr = cfg.dsp.sample_rate
+    hop = cfg.dsp.hop_length
+    frames = int(seconds * sr) // hop
+    T = frames * hop
+    model, variables = init_student(cfg, jax.random.PRNGKey(0))
+    mel = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(0, 1, (batch, frames, cfg.dsp.n_mels))
+        .astype(np.float32)
+    )
+    rtt = measure_round_trip_ms()
+
+    @jax.jit
+    def chain(v, key, mel):
+        def body(i, acc):
+            w = model.apply(v, jax.random.fold_in(key, i), mel,
+                            method="generate")
+            return acc + w.sum()
+
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+
+    key = jax.random.PRNGKey(1)
+    dt = _time_chain(lambda: chain(variables, key, mel), n_iters,
+                     rtt_ms=rtt)
+    audio_sec = batch * T / sr
+    n_dev = jax.local_device_count()
+    return {
+        "audio_sec_per_s_per_chip": audio_sec / dt / n_dev,
+        "batch": batch,
+        "samples": T,
+        "step_ms": dt * 1e3,
+        "samples_per_s": batch * T / dt,
+        "round_trip_ms": rtt,
+    }
+
+
+def measure_teacher_train(cfg: Config, n_iters: int = 6) -> Dict[str, Any]:
+    """Teacher teacher-forcing training throughput: utterances/s."""
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.train)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    B = cfg.train.global_batch_size
+    ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
+    wav = jnp.asarray(next(make_train_iterator(ds, cfg, B, seed=0)))
+    rtt = measure_round_trip_ms()
+
+    @jax.jit
+    def chain(params, opt_state, wav):
+        x, mel = prepare_batch(wav, cfg)
+
+        def body(i, carry):
+            params, opt_state, acc = carry
+
+            def loss_fn(p):
+                return model.apply({"params": p}, x, mel, method="loss")
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            params = jax.tree.map(lambda a, u: a + u, params, updates)
+            return params, opt_state, acc + loss
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n_iters, body, (params, opt_state, jnp.float32(0))
+        )
+        return acc
+
+    dt = _time_chain(lambda: chain(params, opt_state, wav), n_iters,
+                     rtt_ms=rtt)
+    return {
+        "teacher_utt_per_s": B / dt,
+        "step_ms": dt * 1e3,
+        "batch": B,
+        "crop_samples": cfg.train.crop_samples,
+        "samples_per_s": B * cfg.train.crop_samples / dt,
+    }
+
+
+def measure_teacher_ar_sampling(
+    cfg: Config, batch: int = 8, seconds: float = 0.25
+) -> Dict[str, Any]:
+    """Fast-WaveNet conv-queue AR sampling throughput."""
+    sr = cfg.dsp.sample_rate
+    hop = cfg.dsp.hop_length
+    frames = max(int(seconds * sr) // hop, 2)
+    T = frames * hop
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(0))
+    mel = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(0, 1, (batch, frames, cfg.dsp.n_mels))
+        .astype(np.float32)
+    )
+    rtt = measure_round_trip_ms()
+
+    @jax.jit
+    def run(v, key, mel):
+        return sampling.fast_sample(model, v, key, mel).sum()
+
+    key = jax.random.PRNGKey(1)
+    dt = _time_chain(lambda: run(variables, key, mel), 1, rtt_ms=rtt)
+    return {
+        "ar_samples_per_s": batch * T / dt,
+        "ar_steps_per_s": T / dt,
+        "ar_audio_sec_per_s": batch * T / sr / dt,
+        "ar_us_per_step": dt / T * 1e6,
+        "batch": batch,
+        "samples": T,
+    }
+
+
+def run_bench(case: str = "student_iaf", overrides=None,
+              full: bool = True) -> Dict[str, Any]:
+    cfg = get_config(case, **(overrides or {}))
+    student = measure_student_inference(cfg)
+    detail: Dict[str, Any] = {"student": student,
+                              "device": str(jax.devices()[0])}
+    if full:
+        detail["teacher_train"] = measure_teacher_train(
+            get_config("teacher_lj")
+        )
+        detail["teacher_ar"] = measure_teacher_ar_sampling(
+            get_config("teacher_lj")
+        )
+    value = student["audio_sec_per_s_per_chip"]
+    return {
+        # ONE-LINE driver contract (repo-root bench.py prints this):
+        "metric": "student_audio_sec_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-sec/s/chip (= x realtime)",
+        # north-star target is >100x realtime per chip (BASELINE.json)
+        "vs_baseline": round(value / 100.0, 3),
+        "detail": detail,
+    }

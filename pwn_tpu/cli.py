@@ -1,0 +1,183 @@
+"""Command-line entry points (layer T7; reference: `python train.py <case>`
+/ `python generate.py <case>` [R], SURVEY.md §1 L7).
+
+    python -m pwn_tpu.cli train-teacher  <case> [--workdir D] [--data-dir D]
+                                                 [--steps N] [k=v ...]
+    python -m pwn_tpu.cli distill-student <case> --teacher-workdir D [...]
+    python -m pwn_tpu.cli generate        <case> --workdir D [--source F]
+                                                 [--model student|teacher]
+    python -m pwn_tpu.cli bench           [case]
+
+`<case>` is a named preset (the reference's YAML "case"); trailing
+`key=value` pairs override dotted config fields, e.g.
+`train.learning_rate=3e-4`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"override must be key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def _load_config(case: str, overrides):
+    from pwn_tpu.config import get_config
+
+    return get_config(case, **_parse_overrides(overrides))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pwn_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train-teacher", help="train the AR teacher")
+    p_train.add_argument("case")
+    p_train.add_argument("--workdir", default="runs/teacher")
+    p_train.add_argument("--data-dir", default=None,
+                         help="wav corpus dir (default: synthetic tones)")
+    p_train.add_argument("--steps", type=int, default=None)
+    p_train.add_argument("overrides", nargs="*")
+
+    p_dist = sub.add_parser("distill-student",
+                            help="distill the student IAF from a teacher")
+    p_dist.add_argument("case")
+    p_dist.add_argument("--teacher-workdir", required=True)
+    p_dist.add_argument("--teacher-case", default=None,
+                        help="case the teacher was trained with "
+                             "(default: same case)")
+    p_dist.add_argument("--workdir", default="runs/student")
+    p_dist.add_argument("--data-dir", default=None)
+    p_dist.add_argument("--steps", type=int, default=None)
+    p_dist.add_argument("overrides", nargs="*")
+
+    p_gen = sub.add_parser("generate", help="synthesize a waveform")
+    p_gen.add_argument("case")
+    p_gen.add_argument("--workdir", required=True)
+    p_gen.add_argument("--model", choices=["student", "teacher"],
+                       default="student")
+    p_gen.add_argument("--source", default=None,
+                       help="source wav for copy-synthesis mel "
+                            "(default: synthetic clip)")
+    p_gen.add_argument("--output", default="generated.wav")
+    p_gen.add_argument("--seconds", type=float, default=1.0)
+    p_gen.add_argument("--temperature", type=float, default=1.0)
+    p_gen.add_argument("overrides", nargs="*")
+
+    p_bench = sub.add_parser("bench", help="run the benchmark suite")
+    p_bench.add_argument("case", nargs="?", default="student_iaf")
+    p_bench.add_argument("overrides", nargs="*")
+
+    args = parser.parse_args(argv)
+
+    from pwn_tpu.utils.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+
+    if args.cmd == "train-teacher":
+        from pwn_tpu.training.loop import run_teacher_training
+
+        cfg = _load_config(args.case, args.overrides)
+        res = run_teacher_training(
+            cfg, workdir=args.workdir, data_dir=args.data_dir,
+            num_steps=args.steps,
+        )
+        print(f"teacher done: {res.steps_run} steps, "
+              f"final {res.final_metrics}")
+        return 0
+
+    if args.cmd == "distill-student":
+        from pwn_tpu.training.loop import (
+            load_teacher_params,
+            run_distillation,
+        )
+
+        cfg = _load_config(args.case, args.overrides)
+        tcfg = (_load_config(args.teacher_case, args.overrides)
+                if args.teacher_case else cfg)
+        _, teacher_params, tstep = load_teacher_params(
+            tcfg, args.teacher_workdir
+        )
+        print(f"loaded teacher @ step {tstep}")
+        res = run_distillation(
+            cfg, teacher_params, workdir=args.workdir,
+            data_dir=args.data_dir, num_steps=args.steps,
+        )
+        print(f"student done: {res.steps_run} steps, "
+              f"final {res.final_metrics}")
+        return 0
+
+    if args.cmd == "generate":
+        import jax.numpy as jnp
+
+        from pwn_tpu.data import SyntheticTones
+        from pwn_tpu.generate import (
+            generate_student,
+            generate_teacher,
+            mel_from_wav,
+        )
+        from pwn_tpu.training.loop import load_teacher_params
+        from pwn_tpu.utils.audio_io import read_wav, write_wav
+
+        cfg = _load_config(args.case, args.overrides)
+        sr = cfg.dsp.sample_rate
+        if args.source:
+            wav, _ = read_wav(args.source, target_sr=sr)
+        else:
+            wav = SyntheticTones(1, int(args.seconds * sr), sr, seed=42)[0]
+        mel = mel_from_wav(cfg, wav.astype(np.float32))
+        key = jax.random.PRNGKey(0)
+        if args.model == "teacher":
+            _, params, _ = load_teacher_params(cfg, args.workdir)
+            out = generate_teacher(cfg, params, mel, key,
+                                   args.temperature)
+        else:
+            import os
+
+            from pwn_tpu.models.student import init_student
+            from pwn_tpu.training.common import create_train_state
+            from pwn_tpu.utils.checkpoint import CheckpointManager
+
+            _, s_vars = init_student(
+                cfg, jax.random.PRNGKey(cfg.train.seed + 1)
+            )
+            state = create_train_state(
+                s_vars["params"], cfg.train,
+                rng=jax.random.PRNGKey(0),
+            )
+            mngr = CheckpointManager(
+                os.path.join(os.path.abspath(args.workdir), "ckpt_student")
+            )
+            state, _ = mngr.restore(state)
+            mngr.close()
+            out = generate_student(cfg, state.params, mel, key,
+                                   args.temperature)
+        write_wav(args.output, out, sr)
+        print(f"wrote {args.output}: {len(out)/sr:.2f}s @ {sr} Hz")
+        return 0
+
+    if args.cmd == "bench":
+        from pwn_tpu.benchmarks import run_bench
+
+        result = run_bench(args.case, _parse_overrides(args.overrides))
+        import json
+
+        print(json.dumps(result))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""Input pipeline (layer T3; reference: `data_load.py` [R], SURVEY.md §3.3).
+
+The reference pipeline was: tensorpack `RNGDataFlow` over an LJSpeech-style
+wav corpus -> librosa load -> random fixed-length crop -> librosa mel ->
+`PrefetchDataZMQ` (N forked worker processes over ZMQ IPC) -> TF FIFOQueue.
+
+The TPU-native rebuild is deliberately thinner, because the expensive part
+(STFT/mel) moved ON TO the device (training/teacher.py::prepare_batch):
+
+* hosts only produce raw fixed-length float32 wav crops — cheap enough
+  that a single background thread with an in-RAM corpus cache replaces
+  the ZMQ worker pool;
+* per-host sharding: each process sees `files[process_index::process_count]`
+  (partition, not duplication — required for the distributed-equivalence
+  test, SURVEY.md §7);
+* `prefetch()` overlaps host batch assembly + device transfer with the
+  device step (double buffering — the FIFOQueue equivalent);
+* deterministic + checkpointable: the iterator state is (epoch_seed, step),
+  so data-stream resumption after preemption is exact (SURVEY.md §5
+  "failure detection / checkpoint-resume").
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Callable, Iterator, List, Sequence
+
+import numpy as np
+
+from pwn_tpu.config import Config
+from pwn_tpu.utils.audio_io import read_wav
+
+
+class SyntheticTones:
+    """Deterministic corpus of random harmonic clips (tests/bench: no
+    LJSpeech download in this environment — zero egress)."""
+
+    def __init__(self, n_clips: int, n_samples: int, sample_rate: int,
+                 seed: int = 0):
+        self.n_clips = n_clips
+        self.n_samples = n_samples
+        self.sample_rate = sample_rate
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n_clips
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        t = np.arange(self.n_samples) / self.sample_rate
+        wav = np.zeros_like(t, dtype=np.float32)
+        f0 = rng.uniform(80.0, 400.0)
+        for h in range(1, 6):
+            amp = rng.uniform(0.05, 0.5) / h
+            wav += (amp * np.sin(2 * np.pi * f0 * h * t
+                                 + rng.uniform(0, 2 * np.pi))).astype(
+                np.float32
+            )
+        env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(0.5, 3.0) * t))
+        wav *= env.astype(np.float32)
+        peak = np.abs(wav).max()
+        return (wav / max(peak, 1e-3) * 0.7).astype(np.float32)
+
+
+class WavCropDataset:
+    """LJSpeech-style wav-dir corpus with in-RAM cache + random crops."""
+
+    def __init__(
+        self,
+        wav_dir: str,
+        sample_rate: int,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        paths = sorted(glob.glob(os.path.join(wav_dir, "**", "*.wav"),
+                                 recursive=True))
+        if not paths:
+            raise FileNotFoundError(f"no .wav files under {wav_dir}")
+        # per-host partition of the corpus (NOT duplication)
+        self.paths: List[str] = paths[process_index::process_count]
+        self.sample_rate = sample_rate
+        self._cache: dict[int, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if i not in self._cache:
+            wav, _ = read_wav(self.paths[i], target_sr=self.sample_rate)
+            self._cache[i] = wav.astype(np.float32)
+        return self._cache[i]
+
+
+def _crop(wav: np.ndarray, n: int, rng: np.random.Generator) -> np.ndarray:
+    """Random fixed-length crop, zero-padded if the clip is short
+    (reference `wav_random_crop` [R])."""
+    if len(wav) <= n:
+        out = np.zeros(n, np.float32)
+        out[: len(wav)] = wav
+        return out
+    start = int(rng.integers(0, len(wav) - n))
+    return wav[start : start + n]
+
+
+def make_train_iterator(
+    dataset,
+    cfg: Config,
+    local_batch_size: int,
+    seed: int = 0,
+    start_step: int = 0,
+) -> Iterator[np.ndarray]:
+    """Infinite deterministic iterator of (local_batch, crop_samples)
+    float32 batches.  Resumable: pass the saved step to fast-forward the
+    stream exactly (rng is derived from (seed, step), no hidden state)."""
+    n = len(dataset)
+    crop = cfg.train.crop_samples
+    step = start_step
+    while True:
+        rng = np.random.default_rng((seed << 20) ^ step)
+        idx = rng.integers(0, n, size=local_batch_size)
+        batch = np.stack([_crop(dataset[int(i)], crop, rng) for i in idx])
+        yield batch
+        step += 1
+
+
+def prefetch(
+    iterator: Iterator[np.ndarray],
+    put: Callable[[np.ndarray], object],
+    depth: int = 2,
+) -> Iterator[object]:
+    """Background-thread prefetch: overlap host batch assembly and
+    host->device transfer with the device step (replaces the reference's
+    ZMQ prefetch + FIFOQueue pair)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in iterator:
+                if stop.is_set():
+                    return
+                q.put(put(item))
+        except Exception as e:  # surface loader errors in the main thread
+            q.put(e)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
+def local_batch_size(global_batch: int) -> int:
+    import jax
+
+    if global_batch % jax.process_count():
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{jax.process_count()} processes"
+        )
+    return global_batch // jax.process_count()

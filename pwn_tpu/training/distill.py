@@ -1,0 +1,133 @@
+"""Probability-density distillation of the student IAF from a frozen
+teacher (SURVEY.md §8 "Distillation loss"; Parallel WaveNet [PW], BASELINE
+config[2]).
+
+    L = w_kl * D_KL(p_S || p_T) + w_pow * ||\\,|STFT(x_S)| - |STFT(x_ref)|\\,||^2
+
+with the KL estimated pathwise per z-sample:
+
+    D_KL ≈ E_z[ log p_S(x_S(z)) - log p_T(x_S(z)) ]
+         =  E_z[ log p_base(z) - Σ log s ]  -  E_z[ log p_T(x_S(z)) ]
+
+* `log p_S` is the analytic IAF density (StudentOutput.log_p_student);
+* `log p_T` is the teacher's CONTINUOUS MoL density evaluated by ONE
+  parallel teacher-forcing pass over the student's own sample — fully
+  parallel, no AR loop at training time (SURVEY.md §3.1 hot path);
+* the power (spectral magnitude) term anchors the student to the ground
+  truth waveform — without it reverse-KL distillation is known to
+  collapse to whisper (SURVEY.md §7 "hard parts"), so both terms are
+  logged separately.
+
+The teacher's params are a frozen input artifact (stop-gradient); gradients
+flow into the student pathwise through x_S.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pwn_tpu.config import Config
+from pwn_tpu.models.student import StudentIAF
+from pwn_tpu.models.teacher import TeacherWaveNet
+from pwn_tpu.ops import mol
+from pwn_tpu.parallel.mesh import batch_sharding, replicated
+from pwn_tpu.training.common import TrainState, global_norm
+from pwn_tpu.training.teacher import prepare_batch
+from pwn_tpu.utils import dsp
+
+
+def distillation_losses(
+    student: StudentIAF,
+    teacher: TeacherWaveNet,
+    student_params: Any,
+    teacher_params: Any,
+    x_ref: jax.Array,
+    mel: jax.Array,
+    key: jax.Array,
+    cfg: Config,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Total distillation loss + metrics for one batch (model domain)."""
+    teacher_params = jax.lax.stop_gradient(teacher_params)
+    dc = cfg.distill
+
+    def one_sample(k):
+        z = mol.sample_logistic(k, x_ref.shape)
+        out = student.apply({"params": student_params}, z, mel)
+        x_s = out.wav
+        t_out = teacher.apply({"params": teacher_params}, x_s, mel)
+        log_p_t = mol.mol_log_density(
+            x_s, t_out, cfg.teacher.log_scale_min
+        )  # (B, T)
+        log_p_s = out.log_p_student  # (B, T)
+        kl = jnp.mean(log_p_s - log_p_t)  # nats / sample-step
+        mag_s = dsp.stft_magnitude(
+            x_s, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win_length
+        )
+        mag_r = dsp.stft_magnitude(
+            x_ref, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win_length
+        )
+        power = jnp.mean(jnp.square(mag_s - mag_r))
+        return kl, power, jnp.mean(-log_p_s), jnp.mean(-log_p_t)
+
+    # static python loop over the (small) sample count — a vmap here
+    # produces batched-FFT layouts XLA:CPU's fft thunk rejects when the
+    # batch is sharded, and n_kl_samples is 1-4 anyway.
+    keys = jax.random.split(key, dc.n_kl_samples)
+    acc = [one_sample(keys[i]) for i in range(dc.n_kl_samples)]
+    kl, power, ent, xent = (
+        sum(t[i] for t in acc) / dc.n_kl_samples for i in range(4)
+    )
+    total = dc.kl_weight * kl + dc.power_loss_weight * power
+    metrics = {
+        "loss": total,
+        "kl": kl,
+        "power_loss": power,
+        "student_entropy": ent,
+        "teacher_xent": xent,
+    }
+    return total, metrics
+
+
+def make_distill_train_step(
+    student: StudentIAF,
+    teacher: TeacherWaveNet,
+    cfg: Config,
+    mesh: Mesh | None = None,
+):
+    """Returns jitted `(state, teacher_params, wav) -> (state, metrics)`.
+
+    state holds the student params + rng; teacher params ride as a frozen
+    (replicated) input.  wav is the raw ground-truth batch, sharded on
+    `data` under a mesh (BASELINE config[3]: batch 256 over 2 hosts).
+    """
+
+    def train_step(state: TrainState, teacher_params: Any, wav: jax.Array):
+        x_ref, mel = prepare_batch(wav, cfg)
+        step_key = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(p):
+            return distillation_losses(
+                student, teacher, p, teacher_params, x_ref, mel, step_key,
+                cfg,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        metrics["grad_norm"] = global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, rep, batch_sharding(mesh)),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,174 @@
+"""Training orchestration: the rebuilt `train.py` entry logic
+(reference: SURVEY.md §3.1 call stack — hparams -> DataFlow -> trainer
+with ModelSaver callbacks [R]).
+
+One code path serves: teacher training, student distillation, single-chip
+and multi-host data-parallel runs, with async orbax checkpointing and
+exact data-stream resume.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from pwn_tpu.config import Config
+from pwn_tpu.data import (
+    SyntheticTones,
+    WavCropDataset,
+    make_train_iterator,
+    prefetch,
+)
+from pwn_tpu.data.pipeline import local_batch_size
+from pwn_tpu.models.student import init_student
+from pwn_tpu.models.teacher import init_teacher
+from pwn_tpu.parallel import make_mesh, shard_batch
+from pwn_tpu.training.common import create_train_state
+from pwn_tpu.training.distill import make_distill_train_step
+from pwn_tpu.training.teacher import make_teacher_train_step
+from pwn_tpu.utils.checkpoint import CheckpointManager
+from pwn_tpu.utils.metrics import MetricsLogger
+
+
+@dataclass
+class RunResult:
+    state: Any
+    final_metrics: dict
+    steps_run: int
+
+
+def build_dataset(cfg: Config, data_dir: Optional[str]):
+    """Wav-dir corpus if given, else the synthetic corpus (zero-egress env)."""
+    if data_dir:
+        return WavCropDataset(
+            data_dir,
+            cfg.dsp.sample_rate,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+    return SyntheticTones(
+        n_clips=64,
+        n_samples=max(cfg.train.crop_samples, cfg.dsp.sample_rate),
+        sample_rate=cfg.dsp.sample_rate,
+        seed=jax.process_index(),
+    )
+
+
+def _run(
+    cfg: Config,
+    state,
+    step_fn,
+    step_args_fn,
+    workdir: Optional[str],
+    num_steps: Optional[int],
+    data_dir: Optional[str],
+    tag: str,
+) -> RunResult:
+    mesh = make_mesh(cfg.mesh)
+    dataset = build_dataset(cfg, data_dir)
+    num_steps = num_steps if num_steps is not None else cfg.train.total_steps
+
+    ckpt = logger = None
+    start_step = 0
+    if workdir:
+        ckpt = CheckpointManager(
+            os.path.join(os.path.abspath(workdir), f"ckpt_{tag}")
+        )
+        if ckpt.latest_step() is not None:
+            state, start_step = ckpt.restore(state)
+            print(f"[{tag}] resumed from step {start_step}")
+        logger = MetricsLogger(
+            os.path.join(workdir, f"metrics_{tag}.jsonl")
+        )
+
+    lbs = local_batch_size(cfg.train.global_batch_size)
+    it = make_train_iterator(
+        dataset, cfg, lbs, seed=cfg.train.seed, start_step=start_step
+    )
+    device_it = prefetch(it, put=lambda b: shard_batch(mesh, b))
+
+    metrics = {}
+    step = start_step
+    for step in range(start_step, num_steps):
+        batch = next(device_it)
+        state, metrics = step_fn(state, *step_args_fn(), batch)
+        if logger and (
+            step % cfg.train.log_every == 0 or step + 1 == num_steps
+        ):
+            logger.log(step, **{k: v for k, v in metrics.items()})
+        if ckpt and (
+            (step + 1) % cfg.train.checkpoint_every == 0
+            or step + 1 == num_steps
+        ):
+            ckpt.save(step + 1, jax.device_get(state))
+    if ckpt:
+        ckpt.wait()
+        ckpt.close()
+    if logger:
+        logger.close()
+    return RunResult(
+        state=state,
+        final_metrics={k: float(v) for k, v in metrics.items()},
+        steps_run=num_steps - start_step,
+    )
+
+
+def run_teacher_training(
+    cfg: Config,
+    workdir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    num_steps: Optional[int] = None,
+) -> RunResult:
+    mesh = make_mesh(cfg.mesh)
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(cfg.train.seed))
+    state = create_train_state(variables["params"], cfg.train)
+    step_fn = make_teacher_train_step(model, cfg, mesh=mesh)
+    return _run(
+        cfg, state, step_fn, tuple, workdir, num_steps, data_dir, "teacher"
+    )
+
+
+def run_distillation(
+    cfg: Config,
+    teacher_params: Any,
+    workdir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    num_steps: Optional[int] = None,
+) -> RunResult:
+    mesh = make_mesh(cfg.mesh)
+    teacher, _ = init_teacher(cfg, jax.random.PRNGKey(0))
+    student, s_vars = init_student(
+        cfg, jax.random.PRNGKey(cfg.train.seed + 1)
+    )
+    state = create_train_state(
+        s_vars["params"], cfg.train,
+        rng=jax.random.PRNGKey(cfg.train.seed + 2),
+    )
+    step_fn = make_distill_train_step(student, teacher, cfg, mesh=mesh)
+    return _run(
+        cfg,
+        state,
+        step_fn,
+        lambda: (teacher_params,),
+        workdir,
+        num_steps,
+        data_dir,
+        "student",
+    )
+
+
+def load_teacher_params(cfg: Config, workdir: str):
+    """Restore teacher params from a training workdir (frozen distillation
+    input artifact, BASELINE config[2])."""
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(cfg.train.seed))
+    state = create_train_state(variables["params"], cfg.train)
+    ckpt = CheckpointManager(
+        os.path.join(os.path.abspath(workdir), "ckpt_teacher")
+    )
+    state, step = ckpt.restore(state)
+    ckpt.close()
+    return model, state.params, step

@@ -1,0 +1,44 @@
+"""Structured metrics logging (SURVEY.md §5 "Metrics / logging").
+
+Reference: TensorBoard scalars + tensorpack console logger [R].  Rebuild:
+one jsonl line per log event — trivially greppable, drives bench tables —
+plus a console mirror.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, path: Optional[str] = None, echo: bool = True):
+        self._file = None
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._file = open(path, "a", buffering=1)
+        self._echo = echo
+        self._t0 = time.time()
+
+    def log(self, step: int, **metrics: Any) -> None:
+        rec: Dict[str, Any] = {
+            "step": int(step),
+            "wall_s": round(time.time() - self._t0, 3),
+        }
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        line = json.dumps(rec)
+        if self._file:
+            self._file.write(line + "\n")
+        if self._echo:
+            print(line, file=sys.stderr)
+
+    def close(self) -> None:
+        if self._file:
+            self._file.close()

@@ -1,0 +1,89 @@
+"""Input-pipeline tests: determinism, resumability, sharding partition,
+prefetch (SURVEY.md §5 checkpoint/resume + §7 multi-host determinism)."""
+
+import os
+
+import numpy as np
+
+from pwn_tpu.config import get_config, override
+from pwn_tpu.data import SyntheticTones, WavCropDataset, make_train_iterator, prefetch
+from pwn_tpu.utils.audio_io import write_wav
+
+CFG = override(get_config("tiny_teacher"), "train.crop_samples", 512)
+
+
+def test_synthetic_tones_deterministic():
+    ds = SyntheticTones(4, 1000, 16000, seed=5)
+    a, b = ds[2], ds[2]
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(ds[0], ds[1])
+    assert np.abs(a).max() <= 1.0
+
+
+def test_iterator_shapes_and_determinism():
+    ds = SyntheticTones(6, 2000, 16000)
+    it1 = make_train_iterator(ds, CFG, 3, seed=7)
+    it2 = make_train_iterator(ds, CFG, 3, seed=7)
+    b1, b2 = next(it1), next(it2)
+    assert b1.shape == (3, 512) and b1.dtype == np.float32
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_iterator_resume_exact():
+    """start_step fast-forwards the stream exactly (checkpoint resume)."""
+    ds = SyntheticTones(6, 2000, 16000)
+    it = make_train_iterator(ds, CFG, 2, seed=9)
+    stream = [next(it) for _ in range(5)]
+    resumed = make_train_iterator(ds, CFG, 2, seed=9, start_step=3)
+    np.testing.assert_array_equal(next(resumed), stream[3])
+    np.testing.assert_array_equal(next(resumed), stream[4])
+
+
+def test_short_clip_padding():
+    ds = SyntheticTones(2, 100, 16000)  # shorter than crop
+    it = make_train_iterator(ds, CFG, 2, seed=1)
+    b = next(it)
+    assert b.shape == (2, 512)
+    np.testing.assert_array_equal(b[:, 100:], 0.0)
+
+
+def test_wav_dir_dataset_and_host_sharding(tmp_path):
+    for i in range(6):
+        write_wav(
+            str(tmp_path / f"clip_{i}.wav"),
+            np.random.default_rng(i).uniform(-0.3, 0.3, 1500).astype(
+                np.float32
+            ),
+            16000,
+        )
+    full = WavCropDataset(str(tmp_path), 16000)
+    assert len(full) == 6
+    h0 = WavCropDataset(str(tmp_path), 16000, process_index=0,
+                        process_count=2)
+    h1 = WavCropDataset(str(tmp_path), 16000, process_index=1,
+                        process_count=2)
+    assert len(h0) == 3 and len(h1) == 3
+    assert set(h0.paths).isdisjoint(h1.paths)
+    assert set(h0.paths) | set(h1.paths) == set(full.paths)
+    wav = full[0]
+    assert wav.dtype == np.float32 and len(wav) == 1500
+
+
+def test_prefetch_passthrough_and_error_propagation():
+    ds = SyntheticTones(4, 2000, 16000)
+    it = make_train_iterator(ds, CFG, 2, seed=2)
+    pf = prefetch(it, put=lambda x: x * 2.0, depth=2)
+    direct = make_train_iterator(ds, CFG, 2, seed=2)
+    for _ in range(3):
+        np.testing.assert_array_equal(next(pf), next(direct) * 2.0)
+
+    def boom():
+        yield np.zeros(3)
+        raise RuntimeError("loader died")
+
+    pf2 = prefetch(boom(), put=lambda x: x)
+    next(pf2)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="loader died"):
+        next(pf2)

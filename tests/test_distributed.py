@@ -1,0 +1,89 @@
+"""Distributed tests on the 8-device CPU mesh (SURVEY.md §4 row
+"Distributed"): sharded-step gradients ≡ single-device gradients on the
+same global batch; mesh construction invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwn_tpu.config import MeshConfig, get_config, override
+from pwn_tpu.data import SyntheticTones, make_train_iterator
+from pwn_tpu.models.teacher import init_teacher
+from pwn_tpu.parallel import make_mesh, shard_batch
+from pwn_tpu.training import make_teacher_train_step
+from pwn_tpu.training.common import create_train_state
+
+CFG = override(get_config("tiny_teacher"), "train.crop_samples", 1024)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data=-1, model=1))
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(MeshConfig(data=4, model=2))
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data=3, model=1))
+
+
+def test_dp_grads_match_single_device(rng):
+    """The core DP-sync claim: psum-synced gradients on the 8-way sharded
+    batch equal gradients of the unsharded global batch (bitwise-tolerant).
+    Gradients are compared directly — comparing params after adam would
+    amplify ~1e-7 reduction-order noise wherever v ~ 0."""
+    from pwn_tpu.parallel.mesh import batch_sharding, replicated
+    from pwn_tpu.training.teacher import prepare_batch
+
+    model, variables = init_teacher(CFG, jax.random.PRNGKey(0))
+    ds = SyntheticTones(16, 2000, CFG.dsp.sample_rate)
+    wav = jnp.asarray(next(make_train_iterator(ds, CFG, 8, seed=3)))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+
+    def grad_fn(params, wav):
+        x, mel = prepare_batch(wav, CFG)
+
+        def loss_fn(p):
+            return model.apply({"params": p}, x, mel, method="loss")
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    rep = replicated(mesh)
+    sharded = jax.jit(
+        grad_fn, in_shardings=(rep, batch_sharding(mesh)),
+        out_shardings=(rep, rep),
+    )
+    single = jax.jit(grad_fn)
+
+    l1, g1 = sharded(variables["params"], shard_batch(mesh, wav))
+    l2, g2 = single(variables["params"], wav)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_dp_train_step_runs_sharded(rng):
+    """End-to-end sharded train step executes and descends."""
+    model, variables = init_teacher(CFG, jax.random.PRNGKey(0))
+    ds = SyntheticTones(16, 2000, CFG.dsp.sample_rate)
+    wav = jnp.asarray(next(make_train_iterator(ds, CFG, 8, seed=3)))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    step = make_teacher_train_step(model, CFG, mesh=mesh)
+    state = create_train_state(variables["params"], CFG.train)
+    wav_sharded = shard_batch(mesh, wav)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, wav_sharded)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert min(losses[3:]) < losses[0]
+
+
+def test_batch_sharding_places_shards(rng):
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    wav = np.zeros((8, 256), np.float32)
+    arr = shard_batch(mesh, wav)
+    assert len(arr.addressable_shards) == 8
+    assert arr.addressable_shards[0].data.shape == (1, 256)

@@ -1,0 +1,104 @@
+"""Smoke tests for the driver hooks, training loop (with checkpoint
+resume) and CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_graft_entry_compiles():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip_8():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_training_loop_checkpoint_resume(tmp_path):
+    """Loop runs, checkpoints, and resumes from the saved step with the
+    exact data stream position (SURVEY.md §5)."""
+    from pwn_tpu.config import get_config, override
+    from pwn_tpu.training.loop import run_teacher_training
+
+    cfg = get_config("tiny_teacher")
+    for k, v in {
+        "train.crop_samples": 1024,
+        "train.global_batch_size": 8,
+        "train.checkpoint_every": 3,
+        "train.log_every": 1,
+    }.items():
+        cfg = override(cfg, k, v)
+
+    wd = str(tmp_path / "run")
+    res1 = run_teacher_training(cfg, workdir=wd, num_steps=3)
+    assert res1.steps_run == 3
+    # resume picks up at step 3 and runs 3 more
+    res2 = run_teacher_training(cfg, workdir=wd, num_steps=6)
+    assert res2.steps_run == 3
+    assert int(res2.state.step) == 6
+    # metrics jsonl exists with step records
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(wd, "metrics_teacher.jsonl"))
+    ]
+    steps = [r["step"] for r in lines]
+    assert 0 in steps and 5 in steps
+    assert all(np.isfinite(r["loss"]) for r in lines)
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    """Full CLI pipeline: train-teacher -> distill-student -> generate."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    wd_t = str(tmp_path / "teacher")
+    wd_s = str(tmp_path / "student")
+    common = [
+        "train.crop_samples=1024",
+        "train.global_batch_size=8",
+        "train.checkpoint_every=2",
+        "mesh.data=-1",
+    ]
+
+    def run(args):
+        r = subprocess.run(
+            [sys.executable, "-m", "pwn_tpu.cli"] + args,
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=600,
+        )
+        assert r.returncode == 0, r.stdout + "\n" + r.stderr
+        return r
+
+    run(["train-teacher", "tiny_teacher", "--workdir", wd_t,
+         "--steps", "2"] + common)
+    run(["distill-student", "tiny_teacher", "--teacher-workdir", wd_t,
+         "--workdir", wd_s, "--steps", "2"] + common)
+    out_wav = str(tmp_path / "gen.wav")
+    r = run(["generate", "tiny_teacher", "--workdir", wd_s,
+             "--output", out_wav, "--seconds", "0.25"] + common)
+    assert os.path.exists(out_wav)
+    assert "wrote" in r.stdout
+
+    from pwn_tpu.utils.audio_io import read_wav
+
+    wav, sr = read_wav(out_wav)
+    assert sr == 16000
+    assert len(wav) >= 0.2 * sr
