@@ -69,6 +69,13 @@ class TeacherConfig:
     # Minimum log-scale for MoL (numerical floor, fp32 loss).
     log_scale_min: float = -9.0
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; losses in fp32
+    # "auto" | "on" | "off": fused Pallas gated-residual layers (auto =
+    # on-TPU only; CPU uses the XLA path outside dedicated kernel tests).
+    # Default off: measured on TPU v5e (round 1), the fused kernel runs
+    # 3.34 ms/layer vs 3.07 ms for the XLA path at student sizes — XLA's
+    # own fusion already covers the elementwise work, and the remote
+    # Mosaic compile costs minutes.  Flip to "auto" when the kernel wins.
+    fused_layers: str = "off"
 
     @property
     def n_layers(self) -> int:
@@ -101,6 +108,7 @@ class StudentConfig:
     skip_channels: int = 64
     log_scale_clamp: float = 7.0  # |log s| clamp for stability
     compute_dtype: str = "bfloat16"
+    fused_layers: str = "off"  # see TeacherConfig.fused_layers
 
     @property
     def flow_dilations(self) -> Tuple[int, ...]:

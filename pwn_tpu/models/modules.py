@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pwn_tpu.ops import pallas as pallas_ops
 from pwn_tpu.ops.conv import causal_conv1d, conv_transpose1d, shift_right
 
 _conv_kernel_init = jax.nn.initializers.variance_scaling(
@@ -61,6 +62,16 @@ class GatedResidualLayer(nn.Module):
         h  = W_dilated *_d x  +  W_cond * c
         z  = tanh(h_a) * sigmoid(h_b)
         out_residual = x + W_res z ;  out_skip = W_skip z
+
+    Two execution paths over the SAME parameters:
+      * `fused=True`: the Pallas TPU kernel (ops/pallas/gated_layer.py) —
+        one VMEM-resident pass per time-tile, differentiable via its
+        custom VJP;
+      * `fused=False`: composed XLA ops (shifted-matmul conv + einsums).
+    Params are owned directly (not via child CausalConv1d modules) so both
+    paths and the AR fast-sampler address one flat layout:
+    w_dilated (2, C, G), b_dilated, w_cond (M, G), b_cond,
+    w_res (G/2, C), b_res, w_skip (G/2, S), b_skip.
     """
 
     residual_channels: int
@@ -69,30 +80,88 @@ class GatedResidualLayer(nn.Module):
     kernel_size: int = 2
     dilation: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, cond: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
-        h = CausalConv1d(
+        if self.kernel_size != 2:
+            raise NotImplementedError(
+                "gated residual layers use kernel_size=2 (WaveNet)"
+            )
+        C, G, S = (
+            self.residual_channels,
             self.gate_channels,
-            self.kernel_size,
-            self.dilation,
-            dtype=self.dtype,
-            name="dilated",
-        )(x)
-        h = h + CausalConv1d(
-            self.gate_channels, 1, dtype=self.dtype, name="cond"
-        )(cond)
+            self.skip_channels,
+        )
+        M = cond.shape[-1]
+        zeros = jax.nn.initializers.zeros
+        w_dilated = self.param("w_dilated", _conv_kernel_init, (2, C, G))
+        b_dilated = self.param("b_dilated", zeros, (G,))
+        w_cond = self.param(
+            "w_cond",
+            jax.nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal"
+            ),
+            (M, G),
+        )
+        b_cond = self.param("b_cond", zeros, (G,))
+        w_res = self.param(
+            "w_res",
+            jax.nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal"
+            ),
+            (G // 2, C),
+        )
+        b_res = self.param("b_res", zeros, (C,))
+        w_skip = self.param(
+            "w_skip",
+            jax.nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal"
+            ),
+            (G // 2, S),
+        )
+        b_skip = self.param("b_skip", zeros, (S,))
+
+        x = x.astype(self.dtype)
+        cond = cond.astype(self.dtype)
+
+        if self.fused and self.dilation <= pallas_ops.TIME_TILE:
+            return pallas_ops.fused_gated_residual(
+                x, cond, w_dilated, b_dilated, w_cond, b_cond, w_res,
+                b_res, w_skip, b_skip, dilation=self.dilation,
+            )
+
+        dt = self.dtype
+        h = causal_conv1d(
+            x, w_dilated.astype(dt), self.dilation, b_dilated.astype(dt)
+        )
+        h = h + jnp.einsum("btm,mg->btg", cond, w_cond.astype(dt)) + (
+            b_cond.astype(dt)
+        )
         a, b = jnp.split(h, 2, axis=-1)
         z = jnp.tanh(a) * jax.nn.sigmoid(b)
-        res = CausalConv1d(
-            self.residual_channels, 1, dtype=self.dtype, name="res"
-        )(z)
-        skip = CausalConv1d(
-            self.skip_channels, 1, dtype=self.dtype, name="skip"
-        )(z)
+        res = jnp.einsum("btg,gc->btc", z, w_res.astype(dt)) + b_res.astype(
+            dt
+        )
+        skip = jnp.einsum("btg,gs->bts", z, w_skip.astype(dt)) + (
+            b_skip.astype(dt)
+        )
         return x + res, skip
+
+
+def resolve_fused(flag: str) -> bool:
+    """Resolve a config 'fused_layers' flag ("on"/"off"/"auto").
+
+    auto = fused Pallas kernels anywhere but plain CPU (where they would
+    run in the slow interpreter — CI covers them explicitly instead).
+    """
+    if flag == "on":
+        return True
+    if flag == "off":
+        return False
+    return jax.default_backend() != "cpu"
 
 
 class WaveNetStack(nn.Module):
@@ -110,6 +179,7 @@ class WaveNetStack(nn.Module):
     out_dim: int
     kernel_size: int = 2
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
@@ -127,6 +197,7 @@ class WaveNetStack(nn.Module):
                 self.kernel_size,
                 dilation,
                 dtype=self.dtype,
+                fused=self.fused,
                 name=f"layer_{i}",
             )(x, cond)
             skip_total = skip_total + skip

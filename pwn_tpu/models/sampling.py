@@ -80,14 +80,14 @@ def fast_sample(
         lp = _layer(p, i)
         layers.append(
             dict(
-                dil_k=lp["dilated"]["kernel"],  # (2, C, G)
-                dil_b=lp["dilated"]["bias"],
-                cond_k=lp["cond"]["kernel"][0],  # (M, G)
-                cond_b=lp["cond"]["bias"],
-                res_k=lp["res"]["kernel"][0],
-                res_b=lp["res"]["bias"],
-                skip_k=lp["skip"]["kernel"][0],
-                skip_b=lp["skip"]["bias"],
+                dil_k=lp["w_dilated"],  # (2, C, G)
+                dil_b=lp["b_dilated"],
+                cond_k=lp["w_cond"],  # (M, G)
+                cond_b=lp["b_cond"],
+                res_k=lp["w_res"],  # (G/2, C)
+                res_b=lp["b_res"],
+                skip_k=lp["w_skip"],
+                skip_b=lp["b_skip"],
             )
         )
 

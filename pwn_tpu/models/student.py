@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from pwn_tpu.config import Config
-from pwn_tpu.models.modules import UpsampleNet, WaveNetStack
+from pwn_tpu.models.modules import UpsampleNet, WaveNetStack, resolve_fused
 from pwn_tpu.models.teacher import _match_length
 from pwn_tpu.ops import mol
 from pwn_tpu.ops.conv import shift_right
@@ -69,6 +69,7 @@ class StudentIAF(nn.Module):
                 out_dim=2,
                 kernel_size=sc.kernel_size,
                 dtype=dtype,
+                fused=resolve_fused(sc.fused_layers),
                 name=f"flow_{i}",
             )
             for i in range(sc.n_flows)

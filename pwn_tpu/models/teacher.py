@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 
 from pwn_tpu.config import Config
-from pwn_tpu.models.modules import UpsampleNet, WaveNetStack, shift_right_scalar
+from pwn_tpu.models.modules import (
+    UpsampleNet,
+    WaveNetStack,
+    resolve_fused,
+    shift_right_scalar,
+)
 from pwn_tpu.ops import mol
 
 
@@ -46,6 +51,7 @@ class TeacherWaveNet(nn.Module):
             out_dim=3 * tc.n_mixtures,
             kernel_size=tc.kernel_size,
             dtype=dtype,
+            fused=resolve_fused(tc.fused_layers),
             name="stack",
         )
 

@@ -124,6 +124,9 @@ def make_distill_train_step(
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
+    if mesh.shape.get("model", 1) > 1:
+        # TP: caller-driven placement (see teacher.py note).
+        return jax.jit(train_step, donate_argnums=(0,))
     rep = replicated(mesh)
     return jax.jit(
         train_step,

@@ -61,6 +61,11 @@ def make_teacher_train_step(
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
+    if mesh.shape.get("model", 1) > 1:
+        # TP: the caller places the state (parallel.tp.shard_state) and
+        # the batch (shard_batch); GSPMD derives layer collectives from
+        # the parameter shardings — no explicit in_shardings here.
+        return jax.jit(train_step, donate_argnums=(0,))
     rep = replicated(mesh)
     return jax.jit(
         train_step,
