@@ -139,6 +139,9 @@ class TrainConfig:
     checkpoint_every: int = 2000
     log_every: int = 50
     seed: int = 0
+    # use the C++ loader (native/loader.cc) for wav-dir corpora when the
+    # toolchain is available; the Python pipeline is the fallback
+    native_loader: bool = True
 
 
 @dataclass(frozen=True)

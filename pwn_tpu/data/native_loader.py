@@ -1,0 +1,146 @@
+"""ctypes bindings for the native C++ data loader (native/loader.cc).
+
+The native loader is the rebuilt equivalent of the reference's native
+data substrate (libzmq worker pool + libsndfile + TF FIFOQueue,
+SURVEY.md §2b): RIFF/PCM decode, in-RAM corpus cache, deterministic
+(seed, step)-keyed random crops, background producer thread with a
+bounded queue.  The pure-Python pipeline (pipeline.py) remains the
+fallback and handles resampling; the native path assumes a
+sample-rate-matched 16-bit PCM corpus (LJSpeech is).
+
+Build: compiled on first use with g++ (cached at native/build/).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob
+import os
+import subprocess
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(
+    os.path.join(_NATIVE_DIR, "build", "libpwn_loader.so")
+)
+_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "loader.cc"))
+_build_lock = threading.Lock()
+
+
+def build_native(force: bool = False) -> str:
+    """Compile the loader .so if missing/stale. Returns the path."""
+    with _build_lock:
+        if (
+            not force
+            and os.path.exists(_SO_PATH)
+            and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC)
+        ):
+            return _SO_PATH
+        os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+        subprocess.run(
+            [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                "-o", _SO_PATH, _SRC, "-pthread",
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return _SO_PATH
+
+
+def _load_lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(build_native())
+    lib.pwn_loader_create.restype = ctypes.c_void_p
+    lib.pwn_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_uint64,
+    ]
+    lib.pwn_loader_next.restype = ctypes.c_int64
+    lib.pwn_loader_next.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_float)]
+    lib.pwn_loader_n_clips.restype = ctypes.c_int64
+    lib.pwn_loader_n_clips.argtypes = [ctypes.c_void_p]
+    lib.pwn_loader_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def native_available() -> bool:
+    try:
+        global _lib
+        if _lib is None:
+            _lib = _load_lib()
+        return True
+    except Exception:
+        return False
+
+
+class NativeWavCropLoader:
+    """Deterministic, resumable batch iterator backed by the C++ loader.
+
+    Same contract as `make_train_iterator`: yields (batch, crop) float32
+    arrays; the batch for step k depends only on (seed, k).
+    """
+
+    def __init__(
+        self,
+        wav_dir: str,
+        crop_samples: int,
+        batch_size: int,
+        seed: int = 0,
+        start_step: int = 0,
+        queue_depth: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        global _lib
+        if _lib is None:
+            _lib = _load_lib()
+        paths: List[str] = sorted(
+            glob.glob(os.path.join(wav_dir, "**", "*.wav"), recursive=True)
+        )[process_index::process_count]
+        if not paths:
+            raise FileNotFoundError(f"no .wav files under {wav_dir}")
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths]
+        )
+        self._handle = _lib.pwn_loader_create(
+            arr, len(paths), crop_samples, batch_size, seed, queue_depth,
+            start_step,
+        )
+        if not self._handle:
+            raise RuntimeError(
+                f"native loader: no decodable PCM16 wavs under {wav_dir}"
+            )
+        self.batch_size = batch_size
+        self.crop_samples = crop_samples
+        self.n_clips = int(_lib.pwn_loader_n_clips(self._handle))
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        out = np.empty((self.batch_size, self.crop_samples), np.float32)
+        step = _lib.pwn_loader_next(
+            self._handle,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if step < 0:
+            raise StopIteration
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            _lib.pwn_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

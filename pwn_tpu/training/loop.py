@@ -32,6 +32,7 @@ from pwn_tpu.training.distill import make_distill_train_step
 from pwn_tpu.training.teacher import make_teacher_train_step
 from pwn_tpu.utils.checkpoint import CheckpointManager
 from pwn_tpu.utils.metrics import MetricsLogger
+from pwn_tpu.utils.profiling import StepProfiler, apply_debug_flags
 
 
 @dataclass
@@ -86,14 +87,35 @@ def _run(
         )
 
     lbs = local_batch_size(cfg.train.global_batch_size)
-    it = make_train_iterator(
-        dataset, cfg, lbs, seed=cfg.train.seed, start_step=start_step
-    )
+    it = None
+    if data_dir and cfg.train.native_loader:
+        from pwn_tpu.data.native_loader import (
+            NativeWavCropLoader,
+            native_available,
+        )
+
+        if native_available():
+            it = NativeWavCropLoader(
+                data_dir,
+                cfg.train.crop_samples,
+                lbs,
+                seed=cfg.train.seed,
+                start_step=start_step,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
+    if it is None:
+        it = make_train_iterator(
+            dataset, cfg, lbs, seed=cfg.train.seed, start_step=start_step
+        )
     device_it = prefetch(it, put=lambda b: shard_batch(mesh, b))
 
+    apply_debug_flags()
+    profiler = StepProfiler()
     metrics = {}
     step = start_step
     for step in range(start_step, num_steps):
+        profiler.step(step)
         batch = next(device_it)
         state, metrics = step_fn(state, *step_args_fn(), batch)
         if logger and (
@@ -105,6 +127,7 @@ def _run(
             or step + 1 == num_steps
         ):
             ckpt.save(step + 1, jax.device_get(state))
+    profiler.close()
     if ckpt:
         ckpt.wait()
         ckpt.close()

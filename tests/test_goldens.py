@@ -1,0 +1,88 @@
+"""Frozen-golden allclose gate (BASELINE.json correctness gate; SURVEY.md
+§0/§4 — reference TF implementation unavailable, goldens self-generated
+from the §8 semantics by tools/make_goldens.py and frozen).
+
+These tests fail if ANY semantic drift lands in: DSP (preemphasis, STFT,
+mel filterbank, dB normalize), teacher forward (conv stack, MoL head), or
+the student IAF transform.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwn_tpu.config import get_config
+from pwn_tpu.models.student import init_student
+from pwn_tpu.models.teacher import init_teacher
+from pwn_tpu.ops import mol
+from pwn_tpu.utils import dsp
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tiny_v1.npz")
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return get_config("tiny_teacher")
+
+
+def test_golden_mel_allclose(g, cfg):
+    wav = jnp.asarray(g["clip"])[None]
+    x = jnp.clip(dsp.preemphasis(wav, cfg.dsp.preemphasis), -1, 1)
+    mel = dsp.mel_spectrogram(x, cfg.dsp)[:, : 4096 // cfg.dsp.hop_length]
+    np.testing.assert_allclose(
+        np.asarray(mel[0]), g["mel"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_golden_teacher_allclose(g, cfg):
+    wav = jnp.asarray(g["clip"])[None]
+    x = jnp.clip(dsp.preemphasis(wav, cfg.dsp.preemphasis), -1, 1)
+    mel = jnp.asarray(g["mel"])[None]
+    teacher, t_vars = init_teacher(cfg, jax.random.PRNGKey(0))
+    t_params = teacher.apply(t_vars, x, mel)
+    np.testing.assert_allclose(
+        np.asarray(t_params[0, :512]), g["teacher_mol"],
+        rtol=1e-4, atol=1e-5,
+    )
+    nll = mol.discretized_mol_loss(
+        x, t_params, log_scale_min=cfg.teacher.log_scale_min
+    )
+    np.testing.assert_allclose(float(nll), float(g["teacher_nll"]),
+                               rtol=1e-5)
+
+
+def test_golden_student_waveform_allclose(g, cfg):
+    mel = jnp.asarray(g["mel"])[None]
+    z = jnp.asarray(g["z"])[None]
+    student, s_vars = init_student(cfg, jax.random.PRNGKey(1))
+    out = student.apply(s_vars, z, mel)
+    np.testing.assert_allclose(
+        np.asarray(out.wav[0]), g["student_wav"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.log_det[0]), g["student_log_det"],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_eval_metrics_sane(g, cfg):
+    from pwn_tpu.evaluate import copy_synthesis_report
+
+    clip = g["clip"]
+    rep_same = copy_synthesis_report(cfg, clip, clip)
+    assert rep_same["mel_l2"] < 1e-10
+    assert rep_same["spectral_convergence"] < 1e-6
+    noise = np.random.default_rng(0).standard_normal(len(clip)).astype(
+        np.float32
+    ) * 0.1
+    rep_noise = copy_synthesis_report(cfg, clip, clip + noise)
+    assert rep_noise["mel_l2"] > rep_same["mel_l2"]
+    assert rep_noise["log_spectral_distance_db"] > 1.0
