@@ -1,0 +1,59 @@
+"""Sequence-parallel generation ≡ single-device generation (SURVEY.md §5
+long-context stretch; halo exchange derived by GSPMD from time sharding).
+
+The per-shard length must cover the largest dilation (512 samples for the
+default student): GSPMD's halo exchange reaches one neighbor shard only,
+and a larger shift produces silently wrong values — validate_sp refuses
+such shapes (regression-tested below).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwn_tpu.config import MeshConfig, get_config, override
+from pwn_tpu.models.student import init_student
+from pwn_tpu.parallel import make_mesh
+from pwn_tpu.parallel.sp import make_sp_generate, shard_mel_time, validate_sp
+
+CFG = override(get_config("tiny_teacher"), "student.fused_layers", "off")
+# tiny hop=128, max student dilation 512, 8 shards -> F >= 32 frames
+
+
+@pytest.mark.parametrize("F,B", [(32, 1), (40, 2), (64, 1)])
+def test_sp_generate_matches_single_device(rng, F, B):
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (B, F, CFG.dsp.n_mels)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(5)
+
+    sp_gen = make_sp_generate(model, CFG, mesh)
+    wav_sp = sp_gen(variables, key, shard_mel_time(mesh, mel))
+    assert wav_sp.sharding.spec == (None, "data")
+    assert len(wav_sp.addressable_shards) == 8
+
+    wav_single = jax.jit(
+        lambda v, k, m: model.apply(v, k, m, method="generate")
+    )(variables, key, mel)
+    np.testing.assert_allclose(
+        np.asarray(wav_sp), np.asarray(wav_single), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sp_rejects_undersized_shards(rng):
+    """F=16 over 8 shards -> 256-sample shards < 512 max dilation: must
+    raise, not silently corrupt (observed 0.15-0.2 max deviation)."""
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (1, 16, CFG.dsp.n_mels)).astype(np.float32)
+    )
+    sp_gen = make_sp_generate(model, CFG, mesh)
+    with pytest.raises(ValueError, match="max dilation"):
+        sp_gen(variables, jax.random.PRNGKey(0),
+               shard_mel_time(mesh, mel))
+    with pytest.raises(ValueError, match="divisible"):
+        validate_sp(CFG, mesh, 17)
