@@ -105,7 +105,8 @@ def measure_student_inference(
 
 def measure_teacher_train(cfg: Config, n_iters: int = 6) -> Dict[str, Any]:
     """Teacher teacher-forcing training throughput: utterances/s."""
-    model, variables = init_teacher(cfg, jax.random.PRNGKey(0))
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(0),
+                                    use_scan=False)
     tx = make_optimizer(cfg.train)
     params = variables["params"]
     opt_state = tx.init(params)

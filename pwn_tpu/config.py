@@ -189,6 +189,7 @@ def _tiny_teacher() -> Config:
             upsample_strides=(8, 16),
             compute_dtype="float32",
         ),
+        student=StudentConfig(compute_dtype="float32"),
         train=TrainConfig(global_batch_size=1, crop_samples=16000,
                           learning_rate=2e-3, total_steps=500,
                           checkpoint_every=250, log_every=10),

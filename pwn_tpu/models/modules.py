@@ -55,100 +55,69 @@ class CausalConv1d(nn.Module):
         return causal_conv1d(x, kernel, self.dilation, bias)
 
 
-class GatedResidualLayer(nn.Module):
-    """One WaveNet layer: dilated conv -> conditioned gated unit ->
-    residual + skip 1x1 projections.
+class GatedLayerParams(nn.Module):
+    """Parameter holder for one gated residual layer.
 
-        h  = W_dilated *_d x  +  W_cond * c
-        z  = tanh(h_a) * sigmoid(h_b)
-        out_residual = x + W_res z ;  out_skip = W_skip z
-
-    Two execution paths over the SAME parameters:
-      * `fused=True`: the Pallas TPU kernel (ops/pallas/gated_layer.py) —
-        one VMEM-resident pass per time-tile, differentiable via its
-        custom VJP;
-      * `fused=False`: composed XLA ops (shifted-matmul conv + einsums).
-    Params are owned directly (not via child CausalConv1d modules) so both
-    paths and the AR fast-sampler address one flat layout:
-    w_dilated (2, C, G), b_dilated, w_cond (M, G), b_cond,
-    w_res (G/2, C), b_res, w_skip (G/2, S), b_skip.
+    Declares the flat per-layer parameter set under a stable scope name
+    (`layer_{i}`) so the AR fast-sampler (models/sampling.py) and the TP
+    sharding rules (parallel/tp.py) address one layout regardless of
+    which compute path runs:
+        w_dilated (2, C, G), b_dilated, w_cond (M, G), b_cond,
+        w_res (G/2, C), b_res, w_skip (G/2, S), b_skip
     """
 
     residual_channels: int
     gate_channels: int
     skip_channels: int
-    kernel_size: int = 2
-    dilation: int = 1
-    dtype: jnp.dtype = jnp.float32
-    fused: bool = False
 
     @nn.compact
-    def __call__(
-        self, x: jax.Array, cond: jax.Array
-    ) -> Tuple[jax.Array, jax.Array]:
-        if self.kernel_size != 2:
-            raise NotImplementedError(
-                "gated residual layers use kernel_size=2 (WaveNet)"
-            )
+    def __call__(self, cond_dim: int):
         C, G, S = (
             self.residual_channels,
             self.gate_channels,
             self.skip_channels,
         )
-        M = cond.shape[-1]
         zeros = jax.nn.initializers.zeros
-        w_dilated = self.param("w_dilated", _conv_kernel_init, (2, C, G))
-        b_dilated = self.param("b_dilated", zeros, (G,))
-        w_cond = self.param(
-            "w_cond",
-            jax.nn.initializers.variance_scaling(
-                1.0, "fan_in", "truncated_normal"
-            ),
-            (M, G),
+        vs = jax.nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"
         )
-        b_cond = self.param("b_cond", zeros, (G,))
-        w_res = self.param(
-            "w_res",
-            jax.nn.initializers.variance_scaling(
-                1.0, "fan_in", "truncated_normal"
-            ),
-            (G // 2, C),
-        )
-        b_res = self.param("b_res", zeros, (C,))
-        w_skip = self.param(
-            "w_skip",
-            jax.nn.initializers.variance_scaling(
-                1.0, "fan_in", "truncated_normal"
-            ),
-            (G // 2, S),
-        )
-        b_skip = self.param("b_skip", zeros, (S,))
+        return {
+            "w_dilated": self.param("w_dilated", _conv_kernel_init,
+                                    (2, C, G)),
+            "b_dilated": self.param("b_dilated", zeros, (G,)),
+            "w_cond": self.param("w_cond", vs, (cond_dim, G)),
+            "b_cond": self.param("b_cond", zeros, (G,)),
+            "w_res": self.param("w_res", vs, (G // 2, C)),
+            "b_res": self.param("b_res", zeros, (C,)),
+            "w_skip": self.param("w_skip", vs, (G // 2, S)),
+            "b_skip": self.param("b_skip", zeros, (S,)),
+        }
 
-        x = x.astype(self.dtype)
-        cond = cond.astype(self.dtype)
 
-        if self.fused and self.dilation <= pallas_ops.TIME_TILE:
-            return pallas_ops.fused_gated_residual(
-                x, cond, w_dilated, b_dilated, w_cond, b_cond, w_res,
-                b_res, w_skip, b_skip, dilation=self.dilation,
-            )
+def gated_layer_xla(x, cond, lp, dilation, dtype):
+    """Reference (unfused, unrolled) layer compute — kept for tests and
+    as the semantic definition the scan/Pallas paths must match.
 
-        dt = self.dtype
-        h = causal_conv1d(
-            x, w_dilated.astype(dt), self.dilation, b_dilated.astype(dt)
-        )
-        h = h + jnp.einsum("btm,mg->btg", cond, w_cond.astype(dt)) + (
-            b_cond.astype(dt)
-        )
-        a, b = jnp.split(h, 2, axis=-1)
-        z = jnp.tanh(a) * jax.nn.sigmoid(b)
-        res = jnp.einsum("btg,gc->btc", z, w_res.astype(dt)) + b_res.astype(
-            dt
-        )
-        skip = jnp.einsum("btg,gs->bts", z, w_skip.astype(dt)) + (
-            b_skip.astype(dt)
-        )
-        return x + res, skip
+        h  = W_dilated *_d x  +  W_cond * c
+        z  = tanh(h_a) * sigmoid(h_b)
+        out_residual = x + W_res z ;  out_skip = W_skip z
+    """
+    dt = dtype
+    h = causal_conv1d(
+        x, lp["w_dilated"].astype(dt), dilation, lp["b_dilated"].astype(dt)
+    )
+    h = h + jnp.einsum("btm,mg->btg", cond, lp["w_cond"].astype(dt)) + (
+        lp["b_cond"].astype(dt)
+    )
+    a, b = jnp.split(h, 2, axis=-1)
+    z = jnp.tanh(a) * jax.nn.sigmoid(b)
+    res = jnp.einsum("btg,gc->btc", z, lp["w_res"].astype(dt)) + (
+        lp["b_res"].astype(dt)
+    )
+    skip = jnp.einsum("btg,gs->bts", z, lp["w_skip"].astype(dt)) + (
+        lp["b_skip"].astype(dt)
+    )
+    return x + res, skip
 
 
 def resolve_fused(flag: str) -> bool:
@@ -170,6 +139,19 @@ class WaveNetStack(nn.Module):
     The shared trunk of the teacher (out_dim = 3*n_mixtures) and of each
     student IAF flow (out_dim = 2: mu, log_s).  `dilations` fixes the
     per-layer dilation schedule.
+
+    TPU-first execution (default path): the whole dilated stack runs as
+    ONE `lax.scan` over stacked per-layer weights, with each step doing
+    ONE wide-contraction gate GEMM on [x | shift(x, d) | cond] (2C+M
+    contraction feeds the 128-wide MXU properly) and one combined
+    res|skip output GEMM.  Measured 1.5x faster than the unrolled
+    per-layer graph on TPU v5e (11.4 -> 7.5 ms per 10-layer flow at
+    student sizes) — the unrolled form makes XLA materialize more
+    intermediates in HBM.  The dilation differs per layer, so the shift
+    is a dynamic_slice into a max-dilation left padding (static shapes).
+
+    `fused=True` instead runs the per-layer Pallas kernel
+    (ops/pallas/gated_layer.py) — same parameters, same semantics.
     """
 
     dilations: Sequence[int]
@@ -180,34 +162,104 @@ class WaveNetStack(nn.Module):
     kernel_size: int = 2
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    # lax.scan over stacked layer weights: fastest FORWARD (1.5x over the
+    # unrolled graph on v5e), but its backward executes as a second scan
+    # that is ~1.6x slower than the unrolled backward — so training steps
+    # construct their models with use_scan=False and inference with True.
+    # Both paths share one parameter layout and match numerically.
+    use_scan: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
-        x = CausalConv1d(
-            self.residual_channels, 1, dtype=self.dtype, name="front"
-        )(x)
-        skip_total = jnp.zeros(
-            x.shape[:-1] + (self.skip_channels,), dtype=self.dtype
+        if self.kernel_size != 2:
+            raise NotImplementedError(
+                "WaveNetStack uses kernel_size=2 (WaveNet)"
+            )
+        C, G, S = (
+            self.residual_channels,
+            self.gate_channels,
+            self.skip_channels,
         )
-        for i, dilation in enumerate(self.dilations):
-            x, skip = GatedResidualLayer(
-                self.residual_channels,
-                self.gate_channels,
-                self.skip_channels,
-                self.kernel_size,
-                dilation,
-                dtype=self.dtype,
-                fused=self.fused,
-                name=f"layer_{i}",
-            )(x, cond)
-            skip_total = skip_total + skip
+        dt = self.dtype
+        x = CausalConv1d(C, 1, dtype=dt, name="front")(x)
+        cond = cond.astype(dt)
+        layer_params = [
+            GatedLayerParams(C, G, S, name=f"layer_{i}")(cond.shape[-1])
+            for i in range(len(self.dilations))
+        ]
+
+        if self.fused and max(self.dilations) <= pallas_ops.TIME_TILE:
+            skip_total = jnp.zeros(x.shape[:-1] + (S,), dtype=dt)
+            for lp, dilation in zip(layer_params, self.dilations):
+                x, skip = pallas_ops.fused_gated_residual(
+                    x, cond, lp["w_dilated"], lp["b_dilated"],
+                    lp["w_cond"], lp["b_cond"], lp["w_res"], lp["b_res"],
+                    lp["w_skip"], lp["b_skip"], dilation=dilation,
+                )
+                skip_total = skip_total + skip
+        elif self.use_scan:
+            x, skip_total = self._scan_stack(x, cond, layer_params)
+        else:
+            skip_total = jnp.zeros(x.shape[:-1] + (S,), dtype=dt)
+            for lp, dilation in zip(layer_params, self.dilations):
+                x, skip = gated_layer_xla(x, cond, lp, dilation, dt)
+                skip_total = skip_total + skip
+
         h = jax.nn.relu(skip_total)
         h = jax.nn.relu(
-            CausalConv1d(self.skip_channels, 1, dtype=self.dtype,
-                         name="head1")(h)
+            CausalConv1d(S, 1, dtype=dt, name="head1")(h)
         )
-        out = CausalConv1d(self.out_dim, 1, dtype=self.dtype, name="head2")(h)
+        out = CausalConv1d(self.out_dim, 1, dtype=dt, name="head2")(h)
         return out.astype(jnp.float32)
+
+    def _scan_stack(self, x, cond, layer_params):
+        """One lax.scan over stacked layer weights (see class docstring)."""
+        dt = self.dtype
+        C, S = self.residual_channels, self.skip_channels
+        T = x.shape[1]
+        d_max = max(self.dilations)
+
+        def stk(name):
+            return jnp.stack([lp[name] for lp in layer_params])
+
+        # gate operand order must match the concat below: [x, shifted, cond]
+        w_in = jnp.concatenate(
+            [stk("w_dilated")[:, 1], stk("w_dilated")[:, 0],
+             stk("w_cond")],
+            axis=1,
+        ).astype(dt)  # (L, 2C+M, G)
+        b_g = (stk("b_dilated") + stk("b_cond")).astype(dt)
+        w_out = jnp.concatenate([stk("w_res"), stk("w_skip")],
+                                axis=2).astype(dt)  # (L, G/2, C+S)
+        b_res = stk("b_res").astype(dt)
+        b_skip = stk("b_skip").astype(dt)
+        dils = jnp.asarray(self.dilations, jnp.int32)
+
+        def body(carry, inputs):
+            x, skip = carry
+            w_in_l, b_g_l, w_out_l, b_res_l, b_skip_l, d = inputs
+            # shift(x, d) with per-layer d: static-size dynamic_slice
+            # into a max-dilation left pad (zeros = causal padding);
+            # also correct when d >= T.
+            xp = jnp.pad(x, ((0, 0), (d_max, 0), (0, 0)))
+            shifted = jax.lax.dynamic_slice_in_dim(
+                xp, d_max - d, T, axis=1
+            )
+            cat = jnp.concatenate([x, shifted, cond], axis=-1)
+            g = jnp.einsum("btk,kg->btg", cat, w_in_l) + b_g_l
+            a, b = jnp.split(g, 2, axis=-1)
+            z = jnp.tanh(a) * jax.nn.sigmoid(b)
+            out = jnp.einsum("btg,go->bto", z, w_out_l)
+            x = x + out[..., :C] + b_res_l
+            skip = skip + out[..., C:] + b_skip_l
+            return (x, skip), None
+
+        (x, skip_total), _ = jax.lax.scan(
+            body,
+            (x, jnp.zeros(x.shape[:-1] + (S,), dt)),
+            (w_in, b_g, w_out, b_res, b_skip, dils),
+        )
+        return x, skip_total
 
 
 class UpsampleNet(nn.Module):

@@ -48,6 +48,8 @@ class StudentOutput(NamedTuple):
 
 class StudentIAF(nn.Module):
     config: Config
+    # see TeacherWaveNet.use_scan
+    use_scan: bool = True
 
     def setup(self):
         sc = self.config.student
@@ -70,6 +72,7 @@ class StudentIAF(nn.Module):
                 kernel_size=sc.kernel_size,
                 dtype=dtype,
                 fused=resolve_fused(sc.fused_layers),
+                use_scan=self.use_scan,
                 name=f"flow_{i}",
             )
             for i in range(sc.n_flows)
@@ -110,12 +113,12 @@ class StudentIAF(nn.Module):
         return self(z, mel).wav
 
 
-def make_student(config: Config) -> StudentIAF:
-    return StudentIAF(config=config)
+def make_student(config: Config, use_scan: bool = True) -> StudentIAF:
+    return StudentIAF(config=config, use_scan=use_scan)
 
 
-def init_student(config: Config, rng: jax.Array):
-    model = make_student(config)
+def init_student(config: Config, rng: jax.Array, use_scan: bool = True):
+    model = make_student(config, use_scan=use_scan)
     hop = config.dsp.hop_length
     T = 4 * hop
     z = jnp.zeros((1, T), jnp.float32)

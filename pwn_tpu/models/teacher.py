@@ -32,6 +32,9 @@ class TeacherWaveNet(nn.Module):
     """
 
     config: Config
+    # scan-stack forward for inference; training steps build the model
+    # with use_scan=False (faster unrolled backward) — same param tree.
+    use_scan: bool = True
 
     def setup(self):
         tc = self.config.teacher
@@ -52,6 +55,7 @@ class TeacherWaveNet(nn.Module):
             kernel_size=tc.kernel_size,
             dtype=dtype,
             fused=resolve_fused(tc.fused_layers),
+            use_scan=self.use_scan,
             name="stack",
         )
 
@@ -96,13 +100,13 @@ def _match_length(cond: jax.Array, T: int) -> jax.Array:
     return jnp.pad(cond, ((0, 0), (0, T - Tc), (0, 0)), mode="edge")
 
 
-def make_teacher(config: Config) -> TeacherWaveNet:
-    return TeacherWaveNet(config=config)
+def make_teacher(config: Config, use_scan: bool = True) -> TeacherWaveNet:
+    return TeacherWaveNet(config=config, use_scan=use_scan)
 
 
-def init_teacher(config: Config, rng: jax.Array):
+def init_teacher(config: Config, rng: jax.Array, use_scan: bool = True):
     """Initialize teacher params on tiny shapes (shape-polymorphic convs)."""
-    model = make_teacher(config)
+    model = make_teacher(config, use_scan=use_scan)
     hop = config.dsp.hop_length
     T = 4 * hop
     wav = jnp.zeros((1, T), jnp.float32)

@@ -68,6 +68,7 @@ def _run(
     num_steps: Optional[int],
     data_dir: Optional[str],
     tag: str,
+    sample_fn=None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
     dataset = build_dataset(cfg, data_dir)
@@ -127,6 +128,11 @@ def _run(
             or step + 1 == num_steps
         ):
             ckpt.save(step + 1, jax.device_get(state))
+            if sample_fn and workdir and jax.process_index() == 0:
+                # audio progress artifact (the reference's TensorBoard
+                # audio-summary equivalent [R], SURVEY.md §5 metrics row)
+                sample_fn(state, step + 1,
+                          os.path.join(workdir, "samples"))
     profiler.close()
     if ckpt:
         ckpt.wait()
@@ -147,7 +153,10 @@ def run_teacher_training(
     num_steps: Optional[int] = None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
-    model, variables = init_teacher(cfg, jax.random.PRNGKey(cfg.train.seed))
+    # unrolled layers for training: the scan stack's backward is slower
+    model, variables = init_teacher(
+        cfg, jax.random.PRNGKey(cfg.train.seed), use_scan=False
+    )
     state = create_train_state(variables["params"], cfg.train)
     step_fn = make_teacher_train_step(model, cfg, mesh=mesh)
     return _run(
@@ -163,15 +172,35 @@ def run_distillation(
     num_steps: Optional[int] = None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
-    teacher, _ = init_teacher(cfg, jax.random.PRNGKey(0))
+    # teacher is scored forward-only (scan = fastest fwd); the student
+    # trains (unrolled = fastest bwd)
+    teacher, _ = init_teacher(cfg, jax.random.PRNGKey(0), use_scan=True)
     student, s_vars = init_student(
-        cfg, jax.random.PRNGKey(cfg.train.seed + 1)
+        cfg, jax.random.PRNGKey(cfg.train.seed + 1), use_scan=False
     )
     state = create_train_state(
         s_vars["params"], cfg.train,
         rng=jax.random.PRNGKey(cfg.train.seed + 2),
     )
     step_fn = make_distill_train_step(student, teacher, cfg, mesh=mesh)
+
+    def sample_fn(state, step, samples_dir):
+        """Dump an eval waveform per checkpoint (the reference's
+        TensorBoard audio-summary equivalent [R])."""
+        from pwn_tpu.generate import generate_student, mel_from_wav
+        from pwn_tpu.utils.audio_io import write_wav
+
+        sr = cfg.dsp.sample_rate
+        clip = SyntheticTones(1, sr, sr, seed=777)[0]
+        mel = mel_from_wav(cfg, clip)
+        wav = generate_student(
+            cfg, jax.device_get(state.params), mel,
+            jax.random.PRNGKey(step),
+        )
+        write_wav(
+            os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
+        )
+
     return _run(
         cfg,
         state,
@@ -181,6 +210,7 @@ def run_distillation(
         num_steps,
         data_dir,
         "student",
+        sample_fn=sample_fn,
     )
 
 

@@ -205,6 +205,35 @@ def power_spectrum(x: jax.Array, cfg: DSPConfig) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# mu-law companding (reference `audio_utils` [R] kept it for the classic
+# 8-bit WaveNet input path; our MoL teacher does not need it, but it is
+# part of the reference's DSP surface)
+# ---------------------------------------------------------------------------
+
+
+def mulaw_encode(x: jax.Array, mu: int = 255) -> jax.Array:
+    """x in [-1,1] -> companded [-1,1]."""
+    mu_f = float(mu)
+    return jnp.sign(x) * jnp.log1p(mu_f * jnp.abs(x)) / np.log1p(mu_f)
+
+
+def mulaw_decode(y: jax.Array, mu: int = 255) -> jax.Array:
+    mu_f = float(mu)
+    return jnp.sign(y) * (jnp.power(1.0 + mu_f, jnp.abs(y)) - 1.0) / mu_f
+
+
+def mulaw_quantize(x: jax.Array, mu: int = 255) -> jax.Array:
+    """x in [-1,1] -> integer class in [0, mu]."""
+    y = mulaw_encode(x, mu)
+    return jnp.clip(((y + 1.0) / 2.0 * mu + 0.5), 0, mu).astype(jnp.int32)
+
+
+def mulaw_dequantize(q: jax.Array, mu: int = 255) -> jax.Array:
+    y = 2.0 * (q.astype(jnp.float32) / mu) - 1.0
+    return mulaw_decode(y, mu)
+
+
+# ---------------------------------------------------------------------------
 # Griffin-Lim (debugging utility, reference had one for spectrogram checks)
 # ---------------------------------------------------------------------------
 

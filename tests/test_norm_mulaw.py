@@ -1,0 +1,73 @@
+"""mu-law companding and normalization-variant tests (reference
+`audio_utils` mu-law + `modules.py::normalize` parity, SURVEY.md §2a)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pwn_tpu.ops.norm import InstanceNorm, WeightNormConv1d, instance_norm, weight_norm
+from pwn_tpu.utils import dsp
+
+
+def test_mulaw_roundtrip(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, 1000).astype(np.float32))
+    y = dsp.mulaw_encode(x)
+    back = dsp.mulaw_decode(y)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(y).max()) <= 1.0
+
+
+def test_mulaw_quantize_range_and_inverse(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, 2000).astype(np.float32))
+    q = dsp.mulaw_quantize(x)
+    assert int(q.min()) >= 0 and int(q.max()) <= 255
+    deq = dsp.mulaw_dequantize(q)
+    # quantization error bounded by companded bin width
+    assert float(jnp.abs(deq - x).max()) < 0.05
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(-0.999, 0.999))
+def test_mulaw_encode_monotone_odd(v):
+    e = float(dsp.mulaw_encode(jnp.float32(v)))
+    e_neg = float(dsp.mulaw_encode(jnp.float32(-v)))
+    np.testing.assert_allclose(e, -e_neg, atol=1e-6)
+    e2 = float(dsp.mulaw_encode(jnp.float32(min(v + 1e-3, 1.0))))
+    assert e2 >= e - 1e-6
+
+
+def test_instance_norm_statistics(rng):
+    x = jnp.asarray(rng.standard_normal((3, 200, 8)).astype(np.float32)
+                    * 5 + 2)
+    y = instance_norm(x)
+    np.testing.assert_allclose(np.asarray(y.mean(axis=1)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y.std(axis=1)), 1.0, atol=1e-3)
+
+
+def test_instance_norm_module(rng):
+    x = jnp.asarray(rng.standard_normal((2, 64, 4)).astype(np.float32))
+    m = InstanceNorm()
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == x.shape
+
+
+def test_weight_norm_unit_norm(rng):
+    v = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))
+    g = jnp.ones((16,))
+    k = weight_norm(v, g)
+    norms = np.asarray(jnp.sqrt(jnp.sum(jnp.square(k), axis=(0, 1))))
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_weight_norm_conv_causality(rng):
+    x = jnp.asarray(rng.standard_normal((1, 80, 4)).astype(np.float32))
+    m = WeightNormConv1d(features=6, kernel_size=2, dilation=4)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y1 = m.apply(variables, x)
+    y2 = m.apply(variables, x.at[:, 40:].add(1.0))
+    np.testing.assert_array_equal(np.asarray(y1[:, :40]),
+                                  np.asarray(y2[:, :40]))
