@@ -73,6 +73,9 @@ def main(argv=None) -> int:
     p_gen.add_argument("--output", default="generated.wav")
     p_gen.add_argument("--seconds", type=float, default=1.0)
     p_gen.add_argument("--temperature", type=float, default=1.0)
+    p_gen.add_argument("--ar-backend", choices=["scan", "pallas"],
+                       default="scan",
+                       help="teacher AR sampler implementation")
     p_gen.add_argument("overrides", nargs="*")
 
     p_bench = sub.add_parser("bench", help="run the benchmark suite")
@@ -141,7 +144,8 @@ def main(argv=None) -> int:
         if args.model == "teacher":
             _, params, _ = load_teacher_params(cfg, args.workdir)
             out = generate_teacher(cfg, params, mel, key,
-                                   args.temperature)
+                                   args.temperature,
+                                   ar_backend=args.ar_backend)
         else:
             import os
 

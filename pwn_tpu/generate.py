@@ -55,10 +55,26 @@ def generate_teacher(
     mel: jax.Array,
     key: jax.Array,
     temperature: float = 1.0,
+    ar_backend: str = "scan",
 ) -> np.ndarray:
+    """AR teacher synthesis.
+
+    ar_backend: "scan" (conv-queue lax.scan, default) or "pallas" (the
+    whole-loop fused kernel, ops/pallas/ar_sampler.py).  Both ~30-50
+    us/step on v5e (within this tunnel's measurement noise of each
+    other); the pallas path keeps all weights + queues VMEM-resident so
+    it is the one expected to win on larger stacks.
+    """
     model = make_teacher(cfg)
-    wav = sampling.fast_sample(
-        model, {"params": teacher_params}, key, mel, temperature=temperature
-    )
+    if ar_backend == "pallas":
+        wav = sampling.fast_sample_pallas(
+            model, {"params": teacher_params}, key, mel,
+            temperature=temperature,
+        )
+    else:
+        wav = sampling.fast_sample(
+            model, {"params": teacher_params}, key, mel,
+            temperature=temperature,
+        )
     wav = dsp.deemphasis(wav, cfg.dsp.preemphasis)
     return np.asarray(wav[0])

@@ -47,17 +47,57 @@ def teacher_cond(
     return _match_length(cond, n_samples)
 
 
+def mol_sample_from_uniforms(
+    params_t: jax.Array,   # (B, 3K)
+    u: jax.Array,          # (B, K+1): K gumbel uniforms + 1 logistic
+    log_scale_min: float,
+    temperature: float,
+) -> jax.Array:
+    """Deterministic MoL sampling from pre-drawn uniforms.
+
+    Exactly the math of the Pallas AR kernel (ops/pallas/ar_sampler.py) —
+    shared so the two paths can be tested for equality on one stream.
+    """
+    K = params_t.shape[-1] // 3
+    logits = params_t[:, :K].astype(jnp.float32)
+    means = params_t[:, K : 2 * K].astype(jnp.float32)
+    log_s = jnp.maximum(params_t[:, 2 * K :].astype(jnp.float32),
+                        log_scale_min)
+    gumbel = -jnp.log(-jnp.log(u[:, :K]))
+    scores = logits + gumbel
+    best = jnp.max(scores, axis=-1, keepdims=True)
+    onehot = (scores >= best).astype(jnp.float32)
+    onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
+    mean = jnp.sum(means * onehot, axis=-1)
+    ls = jnp.sum(log_s * onehot, axis=-1)
+    ul = u[:, K]
+    x = mean + jnp.exp(ls) * temperature * (jnp.log(ul) - jnp.log1p(-ul))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def draw_uniforms(key: jax.Array, T: int, B: int, K: int) -> jax.Array:
+    """The (T, B, K+1) uniform stream shared by both AR backends."""
+    return jax.random.uniform(
+        key, (T, B, K + 1), minval=1e-5, maxval=1.0 - 1e-5
+    )
+
+
 def fast_sample(
     model: TeacherWaveNet,
     variables,
     key: jax.Array,
     mel: jax.Array,
     temperature: float = 1.0,
+    uniforms: jax.Array | None = None,
 ) -> jax.Array:
     """AR-sample a waveform (B, F*hop) with cached conv queues.
 
     Jit-compiled end to end; the sequential dependency is expressed as one
     `lax.scan` whose body XLA compiles once.
+
+    If `uniforms` (T, B, K+1) is given, sampling consumes that stream via
+    `mol_sample_from_uniforms` (bit-comparable with the Pallas backend);
+    otherwise per-step randomness is fold_in(key, t).
     """
     cfg: Config = model.config
     tc = cfg.teacher
@@ -98,10 +138,13 @@ def fast_sample(
 
     cond_t_major = jnp.swapaxes(cond, 0, 1)  # (T, B, M)
     ts = jnp.arange(T)
+    xs = (ts, cond_t_major)
+    if uniforms is not None:
+        xs = xs + (uniforms,)
 
     def step(carry, inp):
         x_prev, qs = carry
-        t, cond_t = inp
+        t, cond_t = inp[0], inp[1]
         h = x_prev[:, None] @ front_k + front_b  # (B, C)
         skip = jnp.zeros((B, head1_k.shape[0]), jnp.float32)
         new_qs = []
@@ -128,16 +171,64 @@ def fast_sample(
         hh = jax.nn.relu(skip)
         hh = jax.nn.relu(hh @ head1_k + head1_b)
         params_t = hh @ head2_k + head2_b  # (B, 3K)
-        x_t = mol.sample_from_mol(
-            jax.random.fold_in(key, t),
-            params_t,
-            log_scale_min=tc.log_scale_min,
-            temperature=temperature,
-        )
+        if uniforms is not None:
+            x_t = mol_sample_from_uniforms(
+                params_t, inp[2], tc.log_scale_min, temperature
+            )
+        else:
+            x_t = mol.sample_from_mol(
+                jax.random.fold_in(key, t),
+                params_t,
+                log_scale_min=tc.log_scale_min,
+                temperature=temperature,
+            )
         return (x_t, new_qs), x_t
 
-    (_, _), wav_t = jax.lax.scan(step, (x0, queues), (ts, cond_t_major))
+    (_, _), wav_t = jax.lax.scan(step, (x0, queues), xs)
     return jnp.swapaxes(wav_t, 0, 1)  # (B, T)
+
+
+def fast_sample_pallas(
+    model: TeacherWaveNet,
+    variables,
+    key: jax.Array,
+    mel: jax.Array,
+    temperature: float = 1.0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """AR-sample with the whole-loop fused Pallas kernel
+    (ops/pallas/ar_sampler.py): conv queues + all stack weights resident
+    in VMEM across the full waveform; one kernel launch total.
+    """
+    from pwn_tpu.ops.pallas.ar_sampler import (
+        ar_sample_pallas,
+        stack_teacher_weights,
+    )
+
+    cfg: Config = model.config
+    tc = cfg.teacher
+    hop = cfg.dsp.hop_length
+    B, F = mel.shape[0], mel.shape[1]
+    T = F * hop
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    cond = teacher_cond(model, variables, mel, T)  # (B, T, M)
+    uniforms = draw_uniforms(key, T, B, tc.n_mixtures)
+    weights = stack_teacher_weights(
+        _stack_params(variables), tc.n_layers,
+        dtype=jnp.dtype(tc.compute_dtype),
+    )
+    return ar_sample_pallas(
+        cond,
+        uniforms,
+        weights,
+        dilations=tc.dilations,
+        n_mixtures=tc.n_mixtures,
+        log_scale_min=tc.log_scale_min,
+        temperature=temperature,
+        interpret=interpret,
+    )
 
 
 def naive_sample(
