@@ -78,6 +78,13 @@ def main(argv=None) -> int:
                        help="teacher AR sampler implementation")
     p_gen.add_argument("overrides", nargs="*")
 
+    p_eval = sub.add_parser(
+        "eval", help="copy-synthesis quality metrics between two wavs")
+    p_eval.add_argument("case")
+    p_eval.add_argument("--ref", required=True)
+    p_eval.add_argument("--gen", required=True)
+    p_eval.add_argument("overrides", nargs="*")
+
     p_bench = sub.add_parser("bench", help="run the benchmark suite")
     p_bench.add_argument("case", nargs="?", default="student_iaf")
     p_bench.add_argument("overrides", nargs="*")
@@ -169,6 +176,19 @@ def main(argv=None) -> int:
                                    args.temperature)
         write_wav(args.output, out, sr)
         print(f"wrote {args.output}: {len(out)/sr:.2f}s @ {sr} Hz")
+        return 0
+
+    if args.cmd == "eval":
+        import json
+
+        from pwn_tpu.evaluate import copy_synthesis_report
+        from pwn_tpu.utils.audio_io import read_wav
+
+        cfg = _load_config(args.case, args.overrides)
+        ref, _ = read_wav(args.ref, target_sr=cfg.dsp.sample_rate)
+        gen, _ = read_wav(args.gen, target_sr=cfg.dsp.sample_rate)
+        n = min(len(ref), len(gen))
+        print(json.dumps(copy_synthesis_report(cfg, ref[:n], gen[:n])))
         return 0
 
     if args.cmd == "bench":
