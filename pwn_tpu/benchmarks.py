@@ -105,6 +105,11 @@ def measure_student_inference(
 
 def measure_teacher_train(cfg: Config, n_iters: int = 6) -> Dict[str, Any]:
     """Teacher teacher-forcing training throughput: utterances/s."""
+    from pwn_tpu.config import override
+
+    # same model mode as the real training loop: unrolled XLA layers
+    # (fastest backward; kernels are forward-optimized)
+    cfg = override(cfg, "teacher.fused_layers", "off")
     model, variables = init_teacher(cfg, jax.random.PRNGKey(0),
                                     use_scan=False)
     tx = make_optimizer(cfg.train)

@@ -69,13 +69,14 @@ class TeacherConfig:
     # Minimum log-scale for MoL (numerical floor, fp32 loss).
     log_scale_min: float = -9.0
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; losses in fp32
-    # "auto" | "on" | "off": fused Pallas gated-residual layers (auto =
-    # on-TPU only; CPU uses the XLA path outside dedicated kernel tests).
-    # Default off: measured on TPU v5e (round 1), the fused kernel runs
-    # 3.34 ms/layer vs 3.07 ms for the XLA path at student sizes — XLA's
-    # own fusion already covers the elementwise work, and the remote
-    # Mosaic compile costs minutes.  Flip to "auto" when the kernel wins.
-    fused_layers: str = "off"
+    # Stack execution mode: "off" (XLA scan/unrolled), "layer" (per-layer
+    # Pallas gated kernel), "mega" (whole-stack Pallas megakernel with
+    # VMEM-resident inter-layer activations), "auto" (mega on TPU, XLA on
+    # CPU).  Measured v5e (round 1): mega 2.3x over the scan path for
+    # student synthesis (33.4 -> 14.4 ms per 16 audio-sec batch); the
+    # per-layer kernel roughly ties XLA.  Training steps force "off"
+    # (unrolled backward is fastest) — see training/loop.py.
+    fused_layers: str = "auto"
 
     @property
     def n_layers(self) -> int:
@@ -108,7 +109,7 @@ class StudentConfig:
     skip_channels: int = 64
     log_scale_clamp: float = 7.0  # |log s| clamp for stability
     compute_dtype: str = "bfloat16"
-    fused_layers: str = "off"  # see TeacherConfig.fused_layers
+    fused_layers: str = "auto"  # see TeacherConfig.fused_layers
 
     @property
     def flow_dilations(self) -> Tuple[int, ...]:

@@ -121,16 +121,26 @@ def gated_layer_xla(x, cond, lp, dilation, dtype):
 
 
 def resolve_fused(flag: str) -> bool:
-    """Resolve a config 'fused_layers' flag ("on"/"off"/"auto").
+    """Back-compat bool view of `resolve_stack_mode` (per-layer kernel)."""
+    return resolve_stack_mode(flag) == "layer"
 
-    auto = fused Pallas kernels anywhere but plain CPU (where they would
-    run in the slow interpreter — CI covers them explicitly instead).
+
+def resolve_stack_mode(flag: str) -> str:
+    """Resolve a config 'fused_layers' flag to an execution mode.
+
+      "off"          -> "xla"   (lax.scan / unrolled XLA paths)
+      "on" / "layer" -> "layer" (per-layer Pallas gated kernel)
+      "mega"         -> "mega"  (whole-stack Pallas megakernel)
+      "auto"         -> "mega" off-CPU, "xla" on CPU (the interpreter
+                        would crawl; CI covers the kernels explicitly)
     """
-    if flag == "on":
-        return True
+    if flag in ("on", "layer"):
+        return "layer"
+    if flag == "mega":
+        return "mega"
     if flag == "off":
-        return False
-    return jax.default_backend() != "cpu"
+        return "xla"
+    return "mega" if jax.default_backend() != "cpu" else "xla"
 
 
 class WaveNetStack(nn.Module):
@@ -162,11 +172,16 @@ class WaveNetStack(nn.Module):
     kernel_size: int = 2
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
-    # lax.scan over stacked layer weights: fastest FORWARD (1.5x over the
-    # unrolled graph on v5e), but its backward executes as a second scan
-    # that is ~1.6x slower than the unrolled backward — so training steps
-    # construct their models with use_scan=False and inference with True.
-    # Both paths share one parameter layout and match numerically.
+    # Whole-stack Pallas megakernel (ops/pallas/flow_stack.py): all layers
+    # process each time-tile with histories VMEM-resident — the fastest
+    # forward on TPU (inter-layer activations never touch HBM).
+    mega: bool = False
+    # lax.scan over stacked layer weights: fastest pure-XLA FORWARD (1.5x
+    # over the unrolled graph on v5e), but its backward executes as a
+    # second scan that is ~1.6x slower than the unrolled backward — so
+    # training steps construct their models with use_scan=False and
+    # inference with True. All paths share one parameter layout and
+    # match numerically.
     use_scan: bool = True
 
     @nn.compact
@@ -188,7 +203,17 @@ class WaveNetStack(nn.Module):
             for i in range(len(self.dilations))
         ]
 
-        if self.fused and max(self.dilations) <= pallas_ops.TIME_TILE:
+        if self.mega and max(self.dilations) <= pallas_ops.TIME_TILE:
+            from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack
+
+            w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)
+            x, skip_total = fused_flow_stack(
+                x, cond, w_in, b_g,
+                w_out,
+                jnp.concatenate([b_res, b_skip], axis=1),
+                dilations=tuple(self.dilations),
+            )
+        elif self.fused and max(self.dilations) <= pallas_ops.TIME_TILE:
             skip_total = jnp.zeros(x.shape[:-1] + (S,), dtype=dt)
             for lp, dilation in zip(layer_params, self.dilations):
                 x, skip = pallas_ops.fused_gated_residual(
@@ -218,21 +243,7 @@ class WaveNetStack(nn.Module):
         C, S = self.residual_channels, self.skip_channels
         T = x.shape[1]
         d_max = max(self.dilations)
-
-        def stk(name):
-            return jnp.stack([lp[name] for lp in layer_params])
-
-        # gate operand order must match the concat below: [x, shifted, cond]
-        w_in = jnp.concatenate(
-            [stk("w_dilated")[:, 1], stk("w_dilated")[:, 0],
-             stk("w_cond")],
-            axis=1,
-        ).astype(dt)  # (L, 2C+M, G)
-        b_g = (stk("b_dilated") + stk("b_cond")).astype(dt)
-        w_out = jnp.concatenate([stk("w_res"), stk("w_skip")],
-                                axis=2).astype(dt)  # (L, G/2, C+S)
-        b_res = stk("b_res").astype(dt)
-        b_skip = stk("b_skip").astype(dt)
+        w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)
         dils = jnp.asarray(self.dilations, jnp.int32)
 
         def body(carry, inputs):
@@ -260,6 +271,27 @@ class WaveNetStack(nn.Module):
             (w_in, b_g, w_out, b_res, b_skip, dils),
         )
         return x, skip_total
+
+    def _stacked(self, layer_params):
+        """Stack per-layer params into the (L, ...) layout shared by the
+        scan path and the flow-stack megakernel.  Gate operand order
+        matches both kernels' concat: [x, shifted, cond]."""
+        dt = self.dtype
+
+        def stk(name):
+            return jnp.stack([lp[name] for lp in layer_params])
+
+        w_in = jnp.concatenate(
+            [stk("w_dilated")[:, 1], stk("w_dilated")[:, 0],
+             stk("w_cond")],
+            axis=1,
+        ).astype(dt)  # (L, 2C+M, G)
+        b_g = (stk("b_dilated") + stk("b_cond")).astype(dt)
+        w_out = jnp.concatenate([stk("w_res"), stk("w_skip")],
+                                axis=2).astype(dt)  # (L, G/2, C+S)
+        return w_in, b_g, w_out, stk("b_res").astype(dt), (
+            stk("b_skip").astype(dt)
+        )
 
 
 class UpsampleNet(nn.Module):

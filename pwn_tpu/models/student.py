@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from pwn_tpu.config import Config
-from pwn_tpu.models.modules import UpsampleNet, WaveNetStack, resolve_fused
+from pwn_tpu.models.modules import UpsampleNet, WaveNetStack, resolve_stack_mode
 from pwn_tpu.models.teacher import _match_length
 from pwn_tpu.ops import mol
 from pwn_tpu.ops.conv import shift_right
@@ -71,7 +71,8 @@ class StudentIAF(nn.Module):
                 out_dim=2,
                 kernel_size=sc.kernel_size,
                 dtype=dtype,
-                fused=resolve_fused(sc.fused_layers),
+                fused=resolve_stack_mode(sc.fused_layers) == "layer",
+                mega=resolve_stack_mode(sc.fused_layers) == "mega",
                 use_scan=self.use_scan,
                 name=f"flow_{i}",
             )

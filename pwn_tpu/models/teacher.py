@@ -17,7 +17,7 @@ from pwn_tpu.config import Config
 from pwn_tpu.models.modules import (
     UpsampleNet,
     WaveNetStack,
-    resolve_fused,
+    resolve_stack_mode,
     shift_right_scalar,
 )
 from pwn_tpu.ops import mol
@@ -54,7 +54,8 @@ class TeacherWaveNet(nn.Module):
             out_dim=3 * tc.n_mixtures,
             kernel_size=tc.kernel_size,
             dtype=dtype,
-            fused=resolve_fused(tc.fused_layers),
+            fused=resolve_stack_mode(tc.fused_layers) == "layer",
+            mega=resolve_stack_mode(tc.fused_layers) == "mega",
             use_scan=self.use_scan,
             name="stack",
         )

@@ -58,10 +58,14 @@ def _kernel(x_ref, x_prev_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref,
     cond = cond_ref[0]      # (TT, M)
 
     # shift(x, d) rows for this tile: last d rows of block i-1, then the
-    # first TT-d rows of block i.  Static d -> static slice.
-    shifted = jnp.concatenate(
-        [x_prev[tile - dilation :], x[: tile - dilation]], axis=0
-    )
+    # first TT-d rows of block i.  Static d -> static slice.  d == TT
+    # needs a special case: Mosaic rejects the 0-length slice x[:0].
+    if dilation == tile:
+        shifted = x_prev
+    else:
+        shifted = jnp.concatenate(
+            [x_prev[tile - dilation :], x[: tile - dilation]], axis=0
+        )
     # zero rows with global index t < d (causal left padding); only block
     # 0 can contain such rows (d <= TT); the mask is cheap VPU work.
     t_global = (

@@ -56,6 +56,16 @@ def make_sp_generate(student: StudentIAF, cfg: Config, mesh: Mesh):
     long enough that each shard covers the receptive field's largest
     dilation (validate_sp).
     """
+    from pwn_tpu.config import override
+    from pwn_tpu.models.student import make_student
+
+    # GSPMD cannot partition pallas_call over a time-sharded input, so SP
+    # always runs the XLA stack (same params, same semantics).
+    student = make_student(
+        override(cfg, "student.fused_layers", "off"),
+        use_scan=student.use_scan,
+    )
+
     rep = NamedSharding(mesh, P())
     time_sharded_3d = NamedSharding(mesh, P(None, "data", None))
     time_sharded_2d = NamedSharding(mesh, P(None, "data"))

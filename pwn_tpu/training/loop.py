@@ -153,9 +153,14 @@ def run_teacher_training(
     num_steps: Optional[int] = None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
-    # unrolled layers for training: the scan stack's backward is slower
+    # unrolled XLA layers for training: the scan stack's (and the
+    # megakernel's recompute) backward is slower than unrolled
+    from pwn_tpu.config import override as _ov
+
+    train_cfg_model = _ov(cfg, "teacher.fused_layers", "off")
     model, variables = init_teacher(
-        cfg, jax.random.PRNGKey(cfg.train.seed), use_scan=False
+        train_cfg_model, jax.random.PRNGKey(cfg.train.seed),
+        use_scan=False,
     )
     state = create_train_state(variables["params"], cfg.train)
     step_fn = make_teacher_train_step(model, cfg, mesh=mesh)
@@ -172,11 +177,16 @@ def run_distillation(
     num_steps: Optional[int] = None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
-    # teacher is scored forward-only (scan = fastest fwd); the student
-    # trains (unrolled = fastest bwd)
+    # teacher is scored forward-only inside jax.grad: the megakernel's
+    # custom-VJP recompute backward only touches the teacher pathwise
+    # term, so the fast forward wins; the student trains with unrolled
+    # XLA layers (fastest backward)
+    from pwn_tpu.config import override as _ov
+
     teacher, _ = init_teacher(cfg, jax.random.PRNGKey(0), use_scan=True)
     student, s_vars = init_student(
-        cfg, jax.random.PRNGKey(cfg.train.seed + 1), use_scan=False
+        _ov(cfg, "student.fused_layers", "off"),
+        jax.random.PRNGKey(cfg.train.seed + 1), use_scan=False,
     )
     state = create_train_state(
         s_vars["params"], cfg.train,

@@ -1,0 +1,106 @@
+"""Whole-stack Pallas megakernel tests: forward ≡ XLA reference, custom
+VJP grads, model integration (interpret mode on CPU; same code compiles
+on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwn_tpu.ops.pallas.flow_stack import (
+    _reference_xla,
+    fused_flow_stack,
+)
+
+
+def _mk(rng, *shape, scale=0.1):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
+                       * scale)
+
+
+def _setup(rng, B=2, T=1100, C=16, M=8, G=32, S=16,
+           dilations=(1, 2, 4, 512)):
+    L = len(dilations)
+    return dict(
+        x0=_mk(rng, B, T, C, scale=1.0),
+        cond=_mk(rng, B, T, M, scale=1.0),
+        w_in=_mk(rng, L, 2 * C + M, G),
+        b_g=_mk(rng, L, G),
+        w_out=_mk(rng, L, G // 2, C + S),
+        b_rs=_mk(rng, L, C + S),
+    ), dilations
+
+
+def test_flow_stack_matches_reference(rng):
+    args, dils = _setup(rng)
+    x_p, s_p = fused_flow_stack(**args, dilations=dils)
+    x_r, s_r = _reference_xla(**args, dilations=dils)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flow_stack_batch_history_isolation(rng):
+    """hist must reset per batch row: changing row 1 cannot leak into
+    row 0 (grid is batch-major with per-row history)."""
+    args, dils = _setup(rng, B=2, T=1024)
+    x1, _ = fused_flow_stack(**args, dilations=dils)
+    args2 = dict(args)
+    args2["x0"] = args["x0"].at[1].add(3.0)
+    x2, _ = fused_flow_stack(**args2, dilations=dils)
+    np.testing.assert_array_equal(np.asarray(x1[0]), np.asarray(x2[0]))
+    assert not np.allclose(np.asarray(x1[1]), np.asarray(x2[1]))
+
+
+def test_flow_stack_grads_match_reference(rng):
+    args, dils = _setup(rng, B=1, T=600, C=8, M=4, G=16, S=8,
+                        dilations=(1, 4, 16))
+    w1 = _mk(rng, 1, 600, 8, scale=1.0)
+    w2 = _mk(rng, 1, 600, 8, scale=1.0)
+
+    def loss_fused(a):
+        x, s = fused_flow_stack(**a, dilations=dils)
+        return jnp.sum(x * w1) + jnp.sum(s * w2)
+
+    def loss_ref(a):
+        x, s = _reference_xla(**a, dilations=dils)
+        return jnp.sum(x * w1) + jnp.sum(s * w2)
+
+    g1 = jax.grad(loss_fused)(args)
+    g2 = jax.grad(loss_ref)(args)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_flow_stack_rejects_oversized_dilation(rng):
+    args, _ = _setup(rng, T=1024)
+    with pytest.raises(ValueError, match="TIME_TILE"):
+        fused_flow_stack(**args, dilations=(1, 2048))
+
+
+def test_mega_mode_inside_model(rng):
+    """Teacher with fused_layers=mega ≡ scan path (fp32, interpret)."""
+    from pwn_tpu.config import get_config, override
+    from pwn_tpu.models.teacher import init_teacher, make_teacher
+
+    cfg = get_config("tiny_teacher")
+    model_off, v = init_teacher(cfg, jax.random.PRNGKey(0))
+    model_mega = make_teacher(override(cfg, "teacher.fused_layers",
+                                       "mega"))
+    wav = _mk(rng, 1, 512, scale=0.5)[..., 0] if False else jnp.asarray(
+        np.random.default_rng(0).uniform(-0.5, 0.5, (1, 512)).astype(
+            np.float32
+        )
+    )
+    mel = jnp.asarray(
+        np.random.default_rng(1).uniform(
+            0, 1, (1, 4, cfg.dsp.n_mels)
+        ).astype(np.float32)
+    )
+    out_off = model_off.apply(v, wav, mel)
+    out_mega = model_mega.apply(v, wav, mel)
+    np.testing.assert_allclose(
+        np.asarray(out_mega), np.asarray(out_off), rtol=1e-4, atol=1e-4
+    )
