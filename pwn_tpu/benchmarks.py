@@ -29,8 +29,7 @@ from pwn_tpu.data import SyntheticTones, make_train_iterator
 from pwn_tpu.models import sampling
 from pwn_tpu.models.student import init_student
 from pwn_tpu.models.teacher import init_teacher
-from pwn_tpu.parallel import make_mesh, shard_batch
-from pwn_tpu.training.common import create_train_state, make_optimizer
+from pwn_tpu.training.common import make_optimizer
 from pwn_tpu.training.teacher import prepare_batch
 
 

@@ -129,8 +129,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "generate":
-        import jax.numpy as jnp
-
         from pwn_tpu.data import SyntheticTones
         from pwn_tpu.generate import (
             generate_student,

@@ -26,7 +26,7 @@ import glob
 import os
 import queue
 import threading
-from typing import Callable, Iterator, List, Sequence
+from typing import Callable, Iterator, List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ transposed-conv mel upsampler.  Rebuilt TPU-first:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -192,12 +192,41 @@ def _flow_stack_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
     return x_out, skip
 
 
+def _reference_xla_unrolled(x0, cond, w_in, b_g, w_out, b_rs, dilations):
+    """Unrolled-layer reference — same math as `_reference_xla` but as a
+    flat per-layer graph: XLA's backward through the unrolled form is
+    measurably faster than through a scan (see WaveNetStack notes), so
+    the custom VJP differentiates THIS form."""
+    from pwn_tpu.ops.conv import shift_right
+
+    C = x0.shape[-1]
+    dt = x0.dtype
+    x = x0
+    S = w_out.shape[-1] - C
+    skip = jnp.zeros(x0.shape[:-1] + (S,), jnp.float32)
+    condc = cond.astype(dt)
+    for l, d in enumerate(dilations):
+        shifted = shift_right(x, d, axis=1)
+        cat = jnp.concatenate([x, shifted, condc], axis=-1)
+        g = jnp.einsum("btk,kg->btg", cat, w_in[l]).astype(
+            jnp.float32
+        ) + b_g[l].astype(jnp.float32)
+        a, b = jnp.split(g, 2, axis=-1)
+        z = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dt)
+        out = jnp.einsum("btg,go->bto", z, w_out[l]).astype(
+            jnp.float32
+        ) + b_rs[l].astype(jnp.float32)
+        x = x + out[..., :C].astype(dt)
+        skip = skip + out[..., C:]
+    return x, skip.astype(dt)
+
+
 def _fwd(dilations, interpret, *args):
     return _flow_stack(dilations, interpret, *args), args
 
 
 def _bwd(dilations, interpret, residuals, cots):
-    ref = functools.partial(_reference_xla, dilations=dilations)
+    ref = functools.partial(_reference_xla_unrolled, dilations=dilations)
     _, vjp = jax.vjp(ref, *residuals)
     return vjp(cots)
 

@@ -14,7 +14,6 @@ from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 from pwn_tpu.config import Config
 from pwn_tpu.data import (

@@ -1,8 +1,6 @@
 """Input-pipeline tests: determinism, resumability, sharding partition,
 prefetch (SURVEY.md §5 checkpoint/resume + §7 multi-host determinism)."""
 
-import os
-
 import numpy as np
 
 from pwn_tpu.config import get_config, override

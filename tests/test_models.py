@@ -131,13 +131,7 @@ def test_student_generate_parallel(rng):
 def test_scan_stack_matches_unrolled_reference(rng):
     """The production lax.scan wide-GEMM stack must equal the unrolled
     per-layer reference compute (gated_layer_xla) on the same params."""
-    import flax.linen as fnn
-
-    from pwn_tpu.models.modules import (
-        CausalConv1d,
-        WaveNetStack,
-        gated_layer_xla,
-    )
+    from pwn_tpu.models.modules import WaveNetStack, gated_layer_xla
     from pwn_tpu.ops.conv import causal_conv1d
 
     dilations = (1, 2, 4, 8, 16)
