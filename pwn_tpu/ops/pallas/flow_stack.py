@@ -37,7 +37,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from pwn_tpu.ops.pallas.gated_layer import TIME_TILE
+
+# Flow-stack time-tile (must be >= the largest dilation). Bigger tiles
+# amortize per-grid-cell overheads at the cost of VMEM history (the
+# batch-block shrinks to compensate). Overridable for experiments.
+FLOW_TILE = int(os.environ.get("PWN_TPU_FLOW_TILE", str(TIME_TILE)))
 
 
 def _kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref, b_rs_ref,
@@ -142,7 +149,7 @@ def _flow_stack_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
     M = cond.shape[-1]
     L, K_in, G = w_in.shape
     S = w_out.shape[-1] - C
-    tile = TIME_TILE
+    tile = max(FLOW_TILE, TIME_TILE)
     if max(dilations) > tile:
         raise ValueError(
             f"max dilation {max(dilations)} > TIME_TILE {tile}"

@@ -2,6 +2,7 @@
 metrics plumbing (SURVEY.md §4 integration rows)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,3 +81,40 @@ def test_distill_teacher_params_frozen(rng):
     assert all(
         float(jnp.abs(x).max()) == 0.0 for x in jax.tree.leaves(g)
     )
+
+
+@pytest.mark.slow
+def test_overfit_single_clip_cpu(rng):
+    """SURVEY.md §4 integration row: tiny teacher overfits one clip on
+    CPU — NLL must drop substantially within ~80 steps."""
+    cfg = override(get_config("tiny_teacher"), "train.crop_samples", 4096)
+    model, variables = init_teacher(CFG, jax.random.PRNGKey(0))
+    state = create_train_state(variables["params"], cfg.train)
+    step = make_teacher_train_step(model, cfg)
+    ds = SyntheticTones(1, 8000, cfg.dsp.sample_rate, seed=42)
+    wav = jnp.asarray(ds[0][:4096])[None]
+    first = None
+    for i in range(80):
+        state, m = step(state, wav)
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert first - last > 0.5, (first, last)
+
+
+def test_student_generate_jit_nojit_allclose(rng):
+    """SURVEY.md §4: generated waveform allclose across jit/nojit."""
+    from pwn_tpu.models.student import init_student
+
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (1, 4, CFG.dsp.n_mels)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(4)
+    w_nojit = model.apply(variables, key, mel, method="generate")
+    w_jit = jax.jit(
+        lambda v, k, m: model.apply(v, k, m, method="generate")
+    )(variables, key, mel)
+    # jit fuses differently from op-by-op dispatch: ~5e-6 fp32 noise
+    np.testing.assert_allclose(np.asarray(w_jit), np.asarray(w_nojit),
+                               rtol=1e-4, atol=1e-5)
