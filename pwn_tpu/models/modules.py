@@ -157,18 +157,19 @@ class WaveNetStack(nn.Module):
     student IAF flow (out_dim = 2: mu, log_s).  `dilations` fixes the
     per-layer dilation schedule.
 
-    TPU-first execution (default path): the whole dilated stack runs as
-    ONE `lax.scan` over stacked per-layer weights, with each step doing
-    ONE wide-contraction gate GEMM on [x | shift(x, d) | cond] (2C+M
-    contraction feeds the 128-wide MXU properly) and one combined
-    res|skip output GEMM.  Measured 1.5x faster than the unrolled
-    per-layer graph on TPU v5e (11.4 -> 7.5 ms per 10-layer flow at
-    student sizes) — the unrolled form makes XLA materialize more
-    intermediates in HBM.  The dilation differs per layer, so the shift
-    is a dynamic_slice into a max-dilation left padding (static shapes).
+    Four execution paths over ONE parameter layout (pick via `mega`,
+    `fused`, `use_scan`; models resolve them from the config's
+    fused_layers flag + the training/inference site):
 
-    `fused=True` instead runs the per-layer Pallas kernel
-    (ops/pallas/gated_layer.py) — same parameters, same semantics.
+      mega     — whole-stack Pallas megakernel (ops/pallas/flow_stack):
+                 fastest forward on TPU; inter-layer activations stay
+                 in VMEM (default on TPU via fused_layers="auto")
+      scan     — ONE lax.scan over stacked per-layer weights with a
+                 wide-contraction gate GEMM on [x | shift(x,d) | cond];
+                 fastest pure-XLA forward (1.5x over unrolled)
+      unrolled — flat per-layer XLA graph (gated_layer_xla, wide-GEMM
+                 form): fastest BACKWARD -> the training path
+      layer    — per-layer Pallas gated kernel (ops/pallas/gated_layer)
     """
 
     dilations: Sequence[int]

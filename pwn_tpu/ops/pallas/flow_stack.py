@@ -19,8 +19,9 @@ Zero-initialized history at tile 0 reproduces causal zero padding.
 Requires max(dilations) <= TIME_TILE (same bound as the per-layer
 kernel; all baseline configs satisfy it).
 
-Grid: (B, T/TT), sequential on TPU with batch outer — `hist` resets at
-tile 0 of each batch row.  Backward: custom VJP that recomputes via the
+Grid: (B/bb, T/TT) with a batch BLOCK of bb rows per cell (sized so the
+(L, bb, TT, C) history fits VMEM) — larger GEMM row counts fill the MXU
+pipeline; `hist` resets at tile 0 of each batch block.  Backward: custom VJP that recomputes via the
 pure-XLA reference (jax.vjp of the scan-equivalent function), so the
 kernel is usable inside jax.grad (distillation scores the teacher on
 student samples pathwise).
@@ -29,15 +30,13 @@ student samples pathwise).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-import os
 
 from pwn_tpu.ops.pallas.gated_layer import TIME_TILE
 

@@ -11,28 +11,15 @@ layer across the `model` mesh axis.
     w_skip    (G/2, S)   -> P("model", None)         row-parallel
 
 The gate computation is then column-parallel (each chip owns G/n gate
-channels; tanh*sigmoid is elementwise within a shard because the a/b
-halves are interleaved per-shard — see note below), and the res/skip
-projections are row-parallel: XLA inserts exactly one psum per layer
+channels), and the res/skip projections are row-parallel: XLA inserts exactly one psum per layer
 (for the z @ W_res/W_skip contraction) riding the ICI — the Megatron
 pattern expressed purely through sharding annotations, per the
 "pick a mesh, annotate, let XLA insert collectives" recipe.
 
-IMPORTANT interleaving note: `z = tanh(g[:G/2]) * sigmoid(g[G/2:])`
-splits G in half; a plain shard of G over n chips would put the tanh
-half and sigmoid half on DIFFERENT chips for n>1.  To keep the gate
-elementwise-local we PERMUTE the gate channels once at parameter-init
-time so that each chip's slice contains matching (tanh, sigmoid) pairs:
-columns are reordered from [a0..a_{H-1}, b0..b_{H-1}] to
-[a-block0 | b-block0 | a-block1 | b-block1 | ...] (n blocks).  The
-module's split then operates per-shard... — rather than permuting
-weights (which would change the math), we instead leave the weights
-alone and note that sharding G by n divides BOTH halves evenly as long
-as (G/2) % n == 0, because GSPMD shards the split outputs a (.., G/2)
-and b (.., G/2) independently — the split happens BEFORE any cross-chip
-movement and each half is itself sharded over `model`.  So no
-permutation is needed; the constraint is just (G/2) % model == 0,
-asserted in `validate_tp`.
+Gate-split correctness: `z = tanh(g[:G/2]) * sigmoid(g[G/2:])` splits
+G in half BEFORE any cross-chip movement, and GSPMD shards each half
+over `model` independently — the gate stays elementwise-local as long
+as (G/2) % model == 0, asserted by `validate_tp`.
 
 Everything else (front/head 1x1s, upsampler, MoL head) is replicated
 (the conditioning network stays replicated per the north star).
