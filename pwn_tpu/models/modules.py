@@ -215,7 +215,7 @@ class WaveNetStack(nn.Module):
             from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack
 
             w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)
-            x, skip_total = fused_flow_stack(
+            skip_total = fused_flow_stack(
                 x, cond, w_in, b_g,
                 w_out,
                 jnp.concatenate([b_res, b_skip], axis=1),

@@ -107,11 +107,23 @@ class StudentIAF(nn.Module):
 
     def generate(self, key: jax.Array, mel: jax.Array,
                  temperature: float = 1.0) -> jax.Array:
-        """Sample a waveform: one parallel pass (the headline fast path)."""
+        """Sample a waveform: one parallel pass (the headline fast path).
+
+        Skips the log-density bookkeeping `transform` carries for the
+        distillation loss — synthesis only needs the flow outputs.
+        """
         hop = self.config.dsp.hop_length
         B, F = mel.shape[0], mel.shape[1]
         z = mol.sample_logistic(key, (B, F * hop)) * temperature
-        return self(z, mel).wav
+        cond = self.upsample(mel)
+        cond = _match_length(cond, z.shape[-1])
+        clamp = self.config.student.log_scale_clamp
+        for flow in self.flows:
+            h = shift_right(z[..., None], 1)
+            out = flow(h, cond)
+            log_s = jnp.clip(out[..., 1], -clamp, clamp)
+            z = z * jnp.exp(log_s) + out[..., 0]
+        return jnp.clip(z, -1.0, 1.0)
 
 
 def make_student(config: Config, use_scan: bool = True) -> StudentIAF:

@@ -47,7 +47,7 @@ FLOW_TILE = int(os.environ.get("PWN_TPU_FLOW_TILE", str(TIME_TILE)))
 
 
 def _kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref, b_rs_ref,
-            x_out_ref, skip_ref, hist, *, dilations: Sequence[int],
+            skip_ref, hist, *, dilations: Sequence[int],
             C: int, S: int, tile: int, bb: int):
     """Grid cell = (batch-block, time-tile).
 
@@ -94,7 +94,9 @@ def _kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref, b_rs_ref,
         x = x + out[..., :C].astype(x.dtype)
         skip_acc = skip_acc + out[..., C:]
 
-    x_out_ref[...] = x
+    # the residual-path output is NOT emitted: the caller's head only
+    # consumes the skip sum, so x stays VMEM-local (saves one (B,T,C)
+    # HBM write per stack)
     skip_ref[...] = skip_acc.astype(x.dtype)
 
 
@@ -128,12 +130,12 @@ def _reference_xla(x0, cond, w_in, b_g, w_out, b_rs, dilations):
 
     dils = jnp.asarray(dilations, jnp.int32)
     S = w_out.shape[-1] - C
-    (x, skip), _ = jax.lax.scan(
+    (_, skip), _ = jax.lax.scan(
         body,
         (x0, jnp.zeros(x0.shape[:-1] + (S,), jnp.float32)),
         (w_in, b_g, w_out, b_rs, dils),
     )
-    return x, skip.astype(dt)
+    return skip.astype(dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -177,7 +179,7 @@ def _flow_stack_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
     full3 = lambda b, i: (0, 0, 0)  # noqa: E731
     full2 = lambda b, i: (0, 0)  # noqa: E731
 
-    x_out, skip = pl.pallas_call(
+    skip = pl.pallas_call(
         functools.partial(
             _kernel, dilations=tuple(dilations), C=C, S=S, tile=tile,
             bb=bb,
@@ -192,14 +194,9 @@ def _flow_stack_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, C + S), full2, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((bb, tile, C), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, tile, S), tmap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Tp, C), dt),
-            jax.ShapeDtypeStruct((B, Tp, S), dt),
-        ],
+        out_specs=pl.BlockSpec((bb, tile, S), tmap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, S), dt),
         scratch_shapes=[pltpu.VMEM((L, bb, tile, C), dt)],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Tp * L * (K_in * G + (G // 2) * (C + S)),
@@ -211,9 +208,8 @@ def _flow_stack_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
       b_rs.astype(jnp.float32))
 
     if pad:
-        x_out = x_out[:, :T]
         skip = skip[:, :T]
-    return x_out, skip
+    return skip
 
 
 def _reference_xla_unrolled(x0, cond, w_in, b_g, w_out, b_rs, dilations):
@@ -242,7 +238,7 @@ def _reference_xla_unrolled(x0, cond, w_in, b_g, w_out, b_rs, dilations):
         ) + b_rs[l].astype(jnp.float32)
         x = x + out[..., :C].astype(dt)
         skip = skip + out[..., C:]
-    return x, skip.astype(dt)
+    return skip.astype(dt)
 
 
 def _fwd(dilations, interpret, *args):
@@ -269,7 +265,10 @@ def fused_flow_stack(
     dilations: Tuple[int, ...],
     interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Differentiable whole-stack forward. Returns (x_out, skip_total)."""
+    """Differentiable whole-stack forward. Returns skip_total (B, T, S).
+
+    (The residual-path output is intentionally not returned — the head
+    consumes only the skip sum, and omitting it saves an HBM write.)"""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _flow_stack(

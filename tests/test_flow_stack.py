@@ -33,10 +33,8 @@ def _setup(rng, B=2, T=1100, C=16, M=8, G=32, S=16,
 
 def test_flow_stack_matches_reference(rng):
     args, dils = _setup(rng)
-    x_p, s_p = fused_flow_stack(**args, dilations=dils)
-    x_r, s_r = _reference_xla(**args, dilations=dils)
-    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_r),
-                               rtol=1e-4, atol=1e-5)
+    s_p = fused_flow_stack(**args, dilations=dils)
+    s_r = _reference_xla(**args, dilations=dils)
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
                                rtol=1e-4, atol=1e-5)
 
@@ -45,12 +43,12 @@ def test_flow_stack_batch_history_isolation(rng):
     """hist must reset per batch row: changing row 1 cannot leak into
     row 0 (grid is batch-major with per-row history)."""
     args, dils = _setup(rng, B=2, T=1024)
-    x1, _ = fused_flow_stack(**args, dilations=dils)
+    s1 = fused_flow_stack(**args, dilations=dils)
     args2 = dict(args)
     args2["x0"] = args["x0"].at[1].add(3.0)
-    x2, _ = fused_flow_stack(**args2, dilations=dils)
-    np.testing.assert_array_equal(np.asarray(x1[0]), np.asarray(x2[0]))
-    assert not np.allclose(np.asarray(x1[1]), np.asarray(x2[1]))
+    s2 = fused_flow_stack(**args2, dilations=dils)
+    np.testing.assert_array_equal(np.asarray(s1[0]), np.asarray(s2[0]))
+    assert not np.allclose(np.asarray(s1[1]), np.asarray(s2[1]))
 
 
 def test_flow_stack_grads_match_reference(rng):
@@ -60,12 +58,12 @@ def test_flow_stack_grads_match_reference(rng):
     w2 = _mk(rng, 1, 600, 8, scale=1.0)
 
     def loss_fused(a):
-        x, s = fused_flow_stack(**a, dilations=dils)
-        return jnp.sum(x * w1) + jnp.sum(s * w2)
+        s = fused_flow_stack(**a, dilations=dils)
+        return jnp.sum(s * w2) + jnp.sum(s[..., :8] * w1)
 
     def loss_ref(a):
-        x, s = _reference_xla(**a, dilations=dils)
-        return jnp.sum(x * w1) + jnp.sum(s * w2)
+        s = _reference_xla(**a, dilations=dils)
+        return jnp.sum(s * w2) + jnp.sum(s[..., :8] * w1)
 
     g1 = jax.grad(loss_fused)(args)
     g2 = jax.grad(loss_ref)(args)
