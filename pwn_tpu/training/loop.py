@@ -86,6 +86,16 @@ def _run(
             os.path.join(workdir, f"metrics_{tag}.jsonl")
         )
 
+    if mesh.shape.get("model", 1) > 1:
+        # tensor-parallel configs (BASELINE config[4]): place the state
+        # per the Megatron sharding rules; the step functions leave
+        # placement to the caller in TP mode (see training/teacher.py)
+        from pwn_tpu.parallel.tp import shard_state, validate_tp
+
+        validate_tp(cfg.teacher.gate_channels, mesh)
+        validate_tp(cfg.student.gate_channels, mesh)
+        state = shard_state(state, mesh)
+
     lbs = local_batch_size(cfg.train.global_batch_size)
     it = None
     if data_dir and cfg.train.native_loader:

@@ -96,3 +96,25 @@ def test_tp_train_step_runs(rng):
     # state placement preserved across steps (no silent re-replication)
     w = state.params["stack"]["layer_0"]["w_dilated"]
     assert w.sharding.spec[2] == "model"
+
+
+def test_tp_training_loop_end_to_end(tmp_path):
+    """config[4]-style TP training through the real loop: state gets
+    placed per the TP rules and descends (CPU 4x2 mesh)."""
+    from pwn_tpu.training.loop import run_teacher_training
+
+    cfg = CFG
+    for k, v in {
+        "train.global_batch_size": 4,
+        "train.checkpoint_every": 100,
+        "train.log_every": 1,
+        "mesh.data": 4,
+        "mesh.model": 2,
+    }.items():
+        cfg = override(cfg, k, v)
+    res = run_teacher_training(cfg, workdir=str(tmp_path / "tp"),
+                               num_steps=3)
+    assert res.steps_run == 3
+    assert np.isfinite(res.final_metrics["loss"])
+    w = res.state.params["stack"]["layer_0"]["w_dilated"]
+    assert w.sharding.spec[2] == "model"
