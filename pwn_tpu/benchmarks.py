@@ -256,6 +256,10 @@ def run_bench(case: str = "student_iaf", overrides=None,
         detail["teacher_ar"] = measure_teacher_ar_sampling(
             get_config("teacher_lj")
         )
+        if jax.local_device_count() > 1:
+            detail["dp_scaling"] = measure_scaling(
+                get_config("teacher_lj")
+            )
     value = student["audio_sec_per_s_per_chip"]
     return {
         # ONE-LINE driver contract (repo-root bench.py prints this):
@@ -266,3 +270,66 @@ def run_bench(case: str = "student_iaf", overrides=None,
         "vs_baseline": round(value / 100.0, 3),
         "detail": detail,
     }
+
+
+def measure_scaling(cfg: Config, n_iters: int = 4):
+    """DP scaling table over the locally visible devices (SURVEY.md §6
+    "measurement points: 1 chip, 1 host, N hosts").
+
+    On the single-chip axon environment this yields the 1-chip row only;
+    on a pod slice (or the CPU sim mesh) it measures each power-of-two
+    device count and reports efficiency vs the 1-device row.
+    """
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from pwn_tpu.config import override
+    from pwn_tpu.parallel.mesh import batch_sharding, replicated
+
+    cfg = override(cfg, "teacher.fused_layers", "off")
+    devices = jax.devices()
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(0),
+                                    use_scan=False)
+    rows = []
+    for n in counts:
+        mesh = Mesh(_np.asarray(devices[:n]).reshape(n, 1),
+                    ("data", "model"))
+        B = max(cfg.train.global_batch_size, n)
+        B -= B % n
+        ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
+        wav = jax.device_put(
+            next(make_train_iterator(ds, cfg, B, seed=0)),
+            batch_sharding(mesh),
+        )
+        params = jax.device_put(variables["params"], replicated(mesh))
+        rtt = measure_round_trip_ms()
+
+        @jax.jit
+        def chain(params, wav):
+            x, mel = prepare_batch(wav, cfg)
+
+            def body(i, acc):
+                def loss_fn(p):
+                    return model.apply({"params": p}, x, mel,
+                                       method="loss")
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                # accumulate the real grad norm so the backward pass
+                # cannot be dead-code-eliminated
+                gnorm = sum(
+                    jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)
+                )
+                return acc + loss + jnp.sqrt(gnorm) * 1e-6
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+
+        dt = _time_chain(lambda: chain(params, wav), n_iters, rtt_ms=rtt)
+        rows.append({"devices": n, "batch": B, "utt_per_s": B / dt,
+                     "step_ms": dt * 1e3})
+    base = rows[0]["utt_per_s"] / rows[0]["devices"]
+    for r in rows:
+        r["efficiency"] = round(
+            (r["utt_per_s"] / r["devices"]) / base, 3
+        )
+    return rows

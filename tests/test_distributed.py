@@ -87,3 +87,20 @@ def test_batch_sharding_places_shards(rng):
     arr = shard_batch(mesh, wav)
     assert len(arr.addressable_shards) == 8
     assert arr.addressable_shards[0].data.shape == (1, 256)
+
+
+def test_measure_scaling_table(rng):
+    """Scaling table runs over the CPU sim mesh and reports efficiency
+    rows for each power-of-two device count."""
+    from pwn_tpu.benchmarks import measure_scaling
+    from pwn_tpu.config import get_config, override
+
+    cfg = get_config("tiny_teacher")
+    for k, v in {"train.crop_samples": 1024,
+                 "train.global_batch_size": 8}.items():
+        cfg = override(cfg, k, v)
+    rows = measure_scaling(cfg, n_iters=2)
+    assert [r["devices"] for r in rows] == [1, 2, 4, 8]
+    assert rows[0]["efficiency"] == 1.0
+    for r in rows:
+        assert r["utt_per_s"] > 0 and np.isfinite(r["efficiency"])
