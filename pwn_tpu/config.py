@@ -143,6 +143,9 @@ class TrainConfig:
     # use the C++ loader (native/loader.cc) for wav-dir corpora when the
     # toolchain is available; the Python pipeline is the fallback
     native_loader: bool = True
+    # input engine: "auto" (C++ loader for wav dirs, else python),
+    # "native", "python", or "grain"
+    data_engine: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -98,7 +98,11 @@ def _run(
 
     lbs = local_batch_size(cfg.train.global_batch_size)
     it = None
-    if data_dir and cfg.train.native_loader:
+    engine = cfg.train.data_engine
+    want_native = engine == "native" or (
+        engine == "auto" and data_dir and cfg.train.native_loader
+    )
+    if want_native and data_dir:
         from pwn_tpu.data.native_loader import (
             NativeWavCropLoader,
             native_available,
@@ -114,6 +118,14 @@ def _run(
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
             )
+        elif engine == "native":
+            raise RuntimeError("data_engine=native but g++ unavailable")
+    if it is None and engine == "grain":
+        from pwn_tpu.data.grain_pipeline import make_grain_iterator
+
+        it = make_grain_iterator(
+            dataset, cfg, lbs, seed=cfg.train.seed, start_step=start_step
+        )
     if it is None:
         it = make_train_iterator(
             dataset, cfg, lbs, seed=cfg.train.seed, start_step=start_step

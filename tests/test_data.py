@@ -85,3 +85,39 @@ def test_prefetch_passthrough_and_error_propagation():
 
     with pytest.raises(RuntimeError, match="loader died"):
         next(pf2)
+
+
+def test_grain_pipeline_deterministic_and_resumable():
+    """grain engine (SURVEY T3 substrate): determinism + exact resume."""
+    from pwn_tpu.data.grain_pipeline import make_grain_iterator
+
+    ds = SyntheticTones(6, 2000, 16000)
+    it = make_grain_iterator(ds, CFG, 3, seed=5)
+    stream = [next(it) for _ in range(4)]
+    assert stream[0].shape == (3, 512)
+    assert stream[0].dtype == np.float32
+    it2 = make_grain_iterator(ds, CFG, 3, seed=5)
+    np.testing.assert_array_equal(next(it2), stream[0])
+    it3 = make_grain_iterator(ds, CFG, 3, seed=5, start_step=3)
+    np.testing.assert_array_equal(next(it3), stream[3])
+    it4 = make_grain_iterator(ds, CFG, 3, seed=6)
+    assert not np.array_equal(next(it4), stream[0])
+
+
+def test_grain_engine_in_training_loop(tmp_path):
+    from pwn_tpu.config import get_config, override
+    from pwn_tpu.training.loop import run_teacher_training
+
+    cfg = get_config("tiny_teacher")
+    for k, v in {
+        "train.crop_samples": 1024,
+        "train.global_batch_size": 8,
+        "train.data_engine": "grain",
+        "train.log_every": 1,
+        "train.checkpoint_every": 100,
+    }.items():
+        cfg = override(cfg, k, v)
+    res = run_teacher_training(cfg, workdir=str(tmp_path / "g"),
+                               num_steps=2)
+    assert res.steps_run == 2
+    assert np.isfinite(res.final_metrics["loss"])
