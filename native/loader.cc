@@ -78,6 +78,17 @@ static bool load_wav_pcm16(const char* path, Clip* out) {
           (channels != 1 && channels != 2)) {
         break;
       }
+      // Clamp the untrusted 32-bit chunk size to the bytes actually left in
+      // the file before allocating: a corrupt header can otherwise request a
+      // ~4 GB vector, and the bad_alloc would escape the decode worker and
+      // terminate the process.  Oversize headers are a decode failure.
+      long pos = std::ftell(f);
+      if (pos < 0 || std::fseek(f, 0, SEEK_END) != 0) break;
+      long end = std::ftell(f);
+      if (end < pos || std::fseek(f, pos, SEEK_SET) != 0) break;
+      if (static_cast<uint64_t>(chunk) > static_cast<uint64_t>(end - pos)) {
+        break;
+      }
       size_t n = chunk / 2;
       std::vector<int16_t> raw(n);
       if (std::fread(raw.data(), 2, n, f) != n) break;
@@ -142,7 +153,12 @@ class Loader {
       }
     }
     clips_.resize(kept);
-    producer_ = std::thread([this] { produce(); });
+    // Only spawn the producer once we know the corpus is non-empty:
+    // fill_batch on zero clips would divide by clips_.size()==0 (SIGFPE)
+    // before pwn_loader_create's n_clips()==0 check could delete us.
+    if (!clips_.empty()) {
+      producer_ = std::thread([this] { produce(); });
+    }
   }
 
   ~Loader() {

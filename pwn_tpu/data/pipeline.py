@@ -137,14 +137,27 @@ def prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        # Bounded-queue put that re-checks `stop`: a plain q.put would block
+        # forever once the consumer stops iterating with the queue full,
+        # pinning device batch buffers for the rest of the process.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in iterator:
                 if stop.is_set():
                     return
-                q.put(put(item))
+                if not _put(put(item)):
+                    return
         except Exception as e:  # surface loader errors in the main thread
-            q.put(e)
+            _put(e)
 
     th = threading.Thread(target=worker, daemon=True)
     th.start()

@@ -32,21 +32,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pwn_tpu.config import MeshConfig
 
 
+_distributed_initialized = False
+
+
 def ensure_distributed() -> None:
     """Initialize the multi-host process group when launched on a pod slice.
 
     Safe no-op for single-process runs.  Reference equivalent: none — the
     reference was single-process only (SURVEY.md §2d).
+
+    The decision is made from env vars ALONE: `jax.distributed.initialize`
+    must run before anything touches the XLA backend, and even an innocent
+    `jax.process_count()` probe initializes it (which both makes
+    `initialize()` raise and pins the pre-init answer at 1).  A module flag
+    tracks "already initialized" instead of querying the backend.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord and os.environ.get("JAX_NUM_PROCESSES"):
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if coord and nproc and int(nproc) > 1:
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            num_processes=int(nproc),
             process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
         )
+        _distributed_initialized = True
 
 
 def make_mesh(

@@ -93,6 +93,41 @@ def test_short_clip_zero_padded(corpus):
     assert hit
 
 
+def test_undecodable_corpus_raises_not_crashes(tmp_path):
+    """Zero decodable clips must raise RuntimeError in Python. Regression:
+    the constructor used to spawn the producer thread before the empty
+    check, racing fill_batch into `key % 0` (SIGFPE, exit 136)."""
+    d = tmp_path / "f32"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):  # float32 wavs: valid RIFF, unsupported format tag
+        wavfile.write(str(d / f"f_{i}.wav"), 16000,
+                      rng.random(1000).astype(np.float32))
+    for _ in range(10):  # old bug was a ~1-in-5 race; hammer it
+        with pytest.raises(RuntimeError, match="no decodable"):
+            NativeWavCropLoader(str(d), 256, 2, seed=1)
+
+
+def test_oversize_data_chunk_is_decode_failure(tmp_path):
+    """A data-chunk header claiming ~4GB with a tiny file behind it must be
+    skipped (not allocated): regression for the bad_alloc->terminate path."""
+    import struct
+
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 0xFFFFFF00) + b"\x00" * 64)
+    (d / "huge_claim.wav").write_bytes(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    wavfile.write(str(d / "good.wav"), 16000,
+                  (np.arange(2000) % 1000).astype(np.int16))
+    loader = NativeWavCropLoader(str(d), 256, 2, seed=1)
+    assert loader.n_clips == 1  # only the good file survives
+    assert next(loader).shape == (2, 256)
+    loader.close()
+
+
 def test_host_sharding_partition(corpus):
     l0 = NativeWavCropLoader(corpus, 256, 1, process_index=0,
                              process_count=2)
