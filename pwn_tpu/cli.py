@@ -3,6 +3,8 @@
 
     python -m pwn_tpu.cli train-teacher  <case> [--workdir D] [--data-dir D]
                                                  [--steps N] [k=v ...]
+    python -m pwn_tpu.cli train-student  <case> [--workdir D] [...]
+                                                 (direct, no teacher)
     python -m pwn_tpu.cli distill-student <case> --teacher-workdir D [...]
     python -m pwn_tpu.cli generate        <case> --workdir D [--source F]
                                                  [--model student|teacher]
@@ -49,6 +51,17 @@ def main(argv=None) -> int:
                          help="wav corpus dir (default: synthetic tones)")
     p_train.add_argument("--steps", type=int, default=None)
     p_train.add_argument("overrides", nargs="*")
+
+    p_sdir = sub.add_parser(
+        "train-student",
+        help="train the student IAF directly (no teacher): closed-form "
+             "likelihood + power loss",
+    )
+    p_sdir.add_argument("case")
+    p_sdir.add_argument("--workdir", default="runs/student")
+    p_sdir.add_argument("--data-dir", default=None)
+    p_sdir.add_argument("--steps", type=int, default=None)
+    p_sdir.add_argument("overrides", nargs="*")
 
     p_dist = sub.add_parser("distill-student",
                             help="distill the student IAF from a teacher")
@@ -104,6 +117,18 @@ def main(argv=None) -> int:
             num_steps=args.steps,
         )
         print(f"teacher done: {res.steps_run} steps, "
+              f"final {res.final_metrics}")
+        return 0
+
+    if args.cmd == "train-student":
+        from pwn_tpu.training.loop import run_student_direct_training
+
+        cfg = _load_config(args.case, args.overrides)
+        res = run_student_direct_training(
+            cfg, workdir=args.workdir, data_dir=args.data_dir,
+            num_steps=args.steps,
+        )
+        print(f"student (direct) done: {res.steps_run} steps, "
               f"final {res.final_metrics}")
         return 0
 

@@ -124,6 +124,10 @@ class DistillConfig:
     power_loss_weight: float = 1.0
     # number of z samples per utterance for the KL Monte-Carlo estimate
     n_kl_samples: int = 1
+    # direct (teacher-free) student training: weight of the closed-form
+    # IAF likelihood term (training/student_direct.py; the reference's
+    # WIP mode, SURVEY.md §2a low-confidence flag)
+    ml_weight: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -140,12 +144,17 @@ class TrainConfig:
     checkpoint_every: int = 2000
     log_every: int = 50
     seed: int = 0
+    # length of the audio progress artifact dumped at checkpoint cadence
+    # (teacher AR samples are sequential — keep them short)
+    eval_sample_seconds: float = 0.25
     # use the C++ loader (native/loader.cc) for wav-dir corpora when the
     # toolchain is available; the Python pipeline is the fallback
     native_loader: bool = True
     # input engine: "auto" (C++ loader for wav dirs, else python),
     # "native", "python", or "grain"
     data_engine: str = "auto"
+    # grain engine only: multiprocess prefetch workers (0 = in-process)
+    grain_workers: int = 0
 
 
 @dataclass(frozen=True)

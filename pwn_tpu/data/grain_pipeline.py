@@ -28,12 +28,20 @@ def make_grain_iterator(
     local_batch_size: int,
     seed: int = 0,
     start_step: int = 0,
+    num_workers: int | None = None,
 ) -> Iterator[np.ndarray]:
     """Infinite deterministic (local_batch, crop_samples) float32 batches.
 
     `dataset` is any indexable corpus (WavCropDataset / SyntheticTones).
-    The stream for (seed, step) is fixed; `start_step` fast-forwards via
-    the grain iterator state (O(1), no replay).
+    The stream for (seed, step) is fixed; `start_step` fast-forwards by
+    SLICING the (random-access) batched MapDataset — `ds[start_step:]` —
+    which is public grain API and O(1) (no replay, no private iterator
+    state pokes).
+
+    num_workers > 0 adds grain's multiprocess prefetch (the reference's
+    PrefetchDataZMQ worker-pool equivalent); the batch stream is
+    byte-identical with 0 or N workers because all randomness is
+    index-keyed.  Defaults to cfg.train.grain_workers.
     """
     import grain
 
@@ -54,11 +62,15 @@ def make_grain_iterator(
         .random_map(crop_fn, seed=seed + 1)
         .batch(local_batch_size)
     )
-    it = iter(ds.to_iter_dataset())
     if start_step:
-        # element index is the only state; jump straight to the target
-        state = it.get_state()
-        state = dict(state)
-        state["next_index"] = start_step * 1  # batch index
-        it.set_state(state)
-    return it
+        ds = ds[start_step:]
+    it_ds = ds.to_iter_dataset()
+    if num_workers is None:
+        num_workers = cfg.train.grain_workers
+    if num_workers > 0:
+        from grain import multiprocessing as gmp
+
+        it_ds = it_ds.mp_prefetch(
+            gmp.MultiprocessingOptions(num_workers=num_workers)
+        )
+    return iter(it_ds)

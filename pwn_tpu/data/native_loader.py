@@ -89,7 +89,7 @@ class NativeWavCropLoader:
 
     def __init__(
         self,
-        wav_dir: str,
+        wav_dir: str | None,
         crop_samples: int,
         batch_size: int,
         seed: int = 0,
@@ -97,13 +97,18 @@ class NativeWavCropLoader:
         queue_depth: int = 4,
         process_index: int = 0,
         process_count: int = 1,
+        files: Optional[List[str]] = None,
     ):
         global _lib
         if _lib is None:
             _lib = _load_lib()
-        paths: List[str] = sorted(
-            glob.glob(os.path.join(wav_dir, "**", "*.wav"), recursive=True)
-        )[process_index::process_count]
+        all_paths: List[str] = (
+            list(files) if files is not None else sorted(
+                glob.glob(os.path.join(wav_dir, "**", "*.wav"),
+                          recursive=True)
+            )
+        )
+        paths = all_paths[process_index::process_count]
         if not paths:
             raise FileNotFoundError(f"no .wav files under {wav_dir}")
         arr = (ctypes.c_char_p * len(paths))(

@@ -65,18 +65,38 @@ class SyntheticTones:
         return (wav / max(peak, 1e-3) * 0.7).astype(np.float32)
 
 
+def corpus_split(wav_dir: str, val_every: int = 20):
+    """Deterministic held-out split of a wav-dir corpus: every
+    `val_every`-th file (sorted order) is validation, the rest train.
+    Corpora too small to spare a file get the full set for both (the
+    tiny/e2e-test regime, where a true holdout is meaningless anyway)."""
+    paths = sorted(glob.glob(os.path.join(wav_dir, "**", "*.wav"),
+                             recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .wav files under {wav_dir}")
+    if len(paths) < val_every:
+        return paths, paths
+    val = paths[::val_every]
+    train = [p for p in paths if p not in set(val)]
+    return train, val
+
+
 class WavCropDataset:
     """LJSpeech-style wav-dir corpus with in-RAM cache + random crops."""
 
     def __init__(
         self,
-        wav_dir: str,
+        wav_dir: str | None,
         sample_rate: int,
         process_index: int = 0,
         process_count: int = 1,
+        files: List[str] | None = None,
     ):
-        paths = sorted(glob.glob(os.path.join(wav_dir, "**", "*.wav"),
-                                 recursive=True))
+        if files is not None:
+            paths = list(files)
+        else:
+            paths = sorted(glob.glob(os.path.join(wav_dir, "**", "*.wav"),
+                                     recursive=True))
         if not paths:
             raise FileNotFoundError(f"no .wav files under {wav_dir}")
         # per-host partition of the corpus (NOT duplication)

@@ -38,6 +38,13 @@ class StudentOutput(NamedTuple):
     log_det: jax.Array    # (B, T) sum_i log s_i[t]
     log_p_base: jax.Array  # (B, T) log Logistic(0,1) density of z_0
     mu_last: jax.Array    # (B, T) final flow's mu (diagnostics)
+    # (B, T) total affine offset M[t]: the flow chain is elementwise affine
+    # in the base noise given the causal context, x[t] = S[t]*z0[t] + M[t]
+    # with S = exp(log_det).  Since z0 ~ Logistic(0,1), the per-timestep
+    # output conditional is exactly Logistic(mu_total, exp(log_det)) —
+    # the closed-form density direct student training maximizes at the
+    # ground-truth waveform (training/student_direct.py).
+    mu_total: jax.Array
 
     @property
     def log_p_student(self) -> jax.Array:
@@ -93,6 +100,7 @@ class StudentIAF(nn.Module):
         )
         log_det = jnp.zeros_like(z)
         mu = jnp.zeros_like(z)
+        mu_total = jnp.zeros_like(z)
         for flow in self.flows:
             # strictly-causal input: flow at t sees z[<t] only
             h = shift_right(z[..., None], 1)
@@ -100,10 +108,12 @@ class StudentIAF(nn.Module):
             mu = out[..., 0]
             log_s = jnp.clip(out[..., 1], -clamp, clamp)
             z = z * jnp.exp(log_s) + mu
+            mu_total = mu_total * jnp.exp(log_s) + mu
             log_det = log_det + log_s
         wav = jnp.clip(z, -1.0, 1.0)
         return StudentOutput(wav=wav, log_det=log_det,
-                             log_p_base=log_p_base, mu_last=mu)
+                             log_p_base=log_p_base, mu_last=mu,
+                             mu_total=mu_total)
 
     def generate(self, key: jax.Array, mel: jax.Array,
                  temperature: float = 1.0) -> jax.Array:

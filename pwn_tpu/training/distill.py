@@ -134,3 +134,27 @@ def make_distill_train_step(
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_distill_eval_step(
+    student: StudentIAF,
+    teacher: TeacherWaveNet,
+    cfg: Config,
+    mesh: Mesh | None = None,
+):
+    """Jitted held-out distillation metrics (fixed key; replicated batch)."""
+
+    def eval_step(student_params, teacher_params, wav):
+        x_ref, mel = prepare_batch(wav, cfg)
+        _, metrics = distillation_losses(
+            student, teacher, student_params, teacher_params, x_ref, mel,
+            jax.random.PRNGKey(0), cfg,
+        )
+        return metrics
+
+    if mesh is None or mesh.shape.get("model", 1) > 1:
+        return jax.jit(eval_step)
+    rep = replicated(mesh)
+    return jax.jit(
+        eval_step, in_shardings=(rep, rep, rep), out_shardings=rep
+    )

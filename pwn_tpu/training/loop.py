@@ -41,14 +41,34 @@ class RunResult:
     steps_run: int
 
 
-def build_dataset(cfg: Config, data_dir: Optional[str]):
-    """Wav-dir corpus if given, else the synthetic corpus (zero-egress env)."""
+def build_dataset(cfg: Config, data_dir: Optional[str], split: str = "train"):
+    """Wav-dir corpus if given, else the synthetic corpus (zero-egress env).
+
+    split="train": per-host partitioned training files.
+    split="val":   the held-out slice (corpus_split), REPLICATED across
+    processes so every host evaluates the identical batch (the reference
+    had no held-out eval at all [R]; SURVEY.md §5 metrics row).
+    """
+    from pwn_tpu.data.pipeline import corpus_split
+
     if data_dir:
+        train_files, val_files = corpus_split(data_dir)
+        if split == "val":
+            return WavCropDataset(None, cfg.dsp.sample_rate,
+                                  files=val_files)
         return WavCropDataset(
-            data_dir,
+            None,
             cfg.dsp.sample_rate,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            files=train_files,
+        )
+    if split == "val":
+        return SyntheticTones(
+            n_clips=8,
+            n_samples=max(cfg.train.crop_samples, cfg.dsp.sample_rate),
+            sample_rate=cfg.dsp.sample_rate,
+            seed=7919,  # disjoint from every per-host train seed
         )
     return SyntheticTones(
         n_clips=64,
@@ -56,6 +76,13 @@ def build_dataset(cfg: Config, data_dir: Optional[str]):
         sample_rate=cfg.dsp.sample_rate,
         seed=jax.process_index(),
     )
+
+
+def make_val_batch(cfg: Config, data_dir: Optional[str], batch_size: int):
+    """One fixed, deterministic held-out batch (identical on every host)."""
+    ds = build_dataset(cfg, data_dir, split="val")
+    it = make_train_iterator(ds, cfg, batch_size, seed=104729, start_step=0)
+    return next(it)
 
 
 def _run(
@@ -68,6 +95,7 @@ def _run(
     data_dir: Optional[str],
     tag: str,
     sample_fn=None,
+    eval_fn=None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
     dataset = build_dataset(cfg, data_dir)
@@ -109,14 +137,18 @@ def _run(
         )
 
         if native_available():
+            from pwn_tpu.data.pipeline import corpus_split
+
+            train_files, _ = corpus_split(data_dir)
             it = NativeWavCropLoader(
-                data_dir,
+                None,
                 cfg.train.crop_samples,
                 lbs,
                 seed=cfg.train.seed,
                 start_step=start_step,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                files=train_files,
             )
         elif engine == "native":
             raise RuntimeError("data_engine=native but g++ unavailable")
@@ -144,10 +176,16 @@ def _run(
             step % cfg.train.log_every == 0 or step + 1 == num_steps
         ):
             logger.log(step, **{k: v for k, v in metrics.items()})
-        if ckpt and (
-            (step + 1) % cfg.train.checkpoint_every == 0
+        at_ckpt = (step + 1) % cfg.train.checkpoint_every == 0 \
             or step + 1 == num_steps
-        ):
+        if eval_fn and at_ckpt:
+            # held-out metrics at checkpoint cadence (SPMD: every process
+            # runs the same replicated eval computation)
+            val = {f"val_{k}": float(v) for k, v in eval_fn(state).items()}
+            if logger:
+                logger.log(step + 1, **val)
+            metrics = {**metrics, **val}
+        if ckpt and at_ckpt:
             ckpt.save(step + 1, jax.device_get(state))
             if sample_fn and workdir and jax.process_index() == 0:
                 # audio progress artifact (the reference's TensorBoard
@@ -185,8 +223,41 @@ def run_teacher_training(
     )
     state = create_train_state(variables["params"], cfg.train)
     step_fn = make_teacher_train_step(model, cfg, mesh=mesh)
+
+    # held-out observability (VERDICT r1 weak item 6): val NLL at
+    # checkpoint cadence + AR sample dumps, parity with the distill loop
+    from pwn_tpu.training.teacher import make_teacher_eval_step
+
+    val_batch = make_val_batch(
+        cfg, data_dir, local_batch_size(cfg.train.global_batch_size)
+    )
+    eval_step = make_teacher_eval_step(model, cfg, mesh=mesh)
+
+    def eval_fn(state):
+        return {"loss": eval_step(state.params, val_batch)}
+
+    val_ds = build_dataset(cfg, data_dir, split="val")
+
+    def sample_fn(state, step, samples_dir):
+        from pwn_tpu.generate import generate_teacher, mel_from_wav
+        from pwn_tpu.utils.audio_io import write_wav
+
+        sr = cfg.dsp.sample_rate
+        n = max(cfg.dsp.hop_length * 4,
+                int(cfg.train.eval_sample_seconds * sr))
+        clip = val_ds[0][:n]
+        mel = mel_from_wav(cfg, clip.astype("float32"))
+        wav = generate_teacher(
+            cfg, jax.device_get(state.params), mel,
+            jax.random.PRNGKey(step), temperature=0.8,
+        )
+        write_wav(
+            os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
+        )
+
     return _run(
-        cfg, state, step_fn, tuple, workdir, num_steps, data_dir, "teacher"
+        cfg, state, step_fn, tuple, workdir, num_steps, data_dir,
+        "teacher", sample_fn=sample_fn, eval_fn=eval_fn,
     )
 
 
@@ -232,6 +303,16 @@ def run_distillation(
             os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
         )
 
+    from pwn_tpu.training.distill import make_distill_eval_step
+
+    val_batch = make_val_batch(
+        cfg, data_dir, local_batch_size(cfg.train.global_batch_size)
+    )
+    eval_step = make_distill_eval_step(student, teacher, cfg, mesh=mesh)
+
+    def eval_fn(state):
+        return eval_step(state.params, teacher_params, val_batch)
+
     return _run(
         cfg,
         state,
@@ -242,6 +323,73 @@ def run_distillation(
         data_dir,
         "student",
         sample_fn=sample_fn,
+        eval_fn=eval_fn,
+    )
+
+
+def run_student_direct_training(
+    cfg: Config,
+    workdir: Optional[str] = None,
+    data_dir: Optional[str] = None,
+    num_steps: Optional[int] = None,
+) -> RunResult:
+    """Direct (teacher-free) student training: closed-form IAF likelihood +
+    power loss (training/student_direct.py) — the reference's WIP mode
+    (SURVEY.md §2a low-confidence flag; VERDICT r1 missing item 1).
+
+    Writes the same `ckpt_student` layout as distillation, so `generate`
+    and downstream tooling work unchanged."""
+    from pwn_tpu.config import override as _ov
+    from pwn_tpu.training.student_direct import (
+        make_student_direct_eval_step,
+        make_student_direct_train_step,
+    )
+
+    mesh = make_mesh(cfg.mesh)
+    student, s_vars = init_student(
+        _ov(cfg, "student.fused_layers", "off"),
+        jax.random.PRNGKey(cfg.train.seed + 1), use_scan=False,
+    )
+    state = create_train_state(
+        s_vars["params"], cfg.train,
+        rng=jax.random.PRNGKey(cfg.train.seed + 2),
+    )
+    step_fn = make_student_direct_train_step(student, cfg, mesh=mesh)
+
+    val_batch = make_val_batch(
+        cfg, data_dir, local_batch_size(cfg.train.global_batch_size)
+    )
+    eval_step = make_student_direct_eval_step(student, cfg, mesh=mesh)
+
+    def eval_fn(state):
+        return eval_step(state.params, val_batch)
+
+    def sample_fn(state, step, samples_dir):
+        from pwn_tpu.generate import generate_student, mel_from_wav
+        from pwn_tpu.utils.audio_io import write_wav
+
+        sr = cfg.dsp.sample_rate
+        clip = SyntheticTones(1, sr, sr, seed=777)[0]
+        mel = mel_from_wav(cfg, clip)
+        wav = generate_student(
+            cfg, jax.device_get(state.params), mel,
+            jax.random.PRNGKey(step),
+        )
+        write_wav(
+            os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
+        )
+
+    return _run(
+        cfg,
+        state,
+        step_fn,
+        tuple,
+        workdir,
+        num_steps,
+        data_dir,
+        "student",
+        sample_fn=sample_fn,
+        eval_fn=eval_fn,
     )
 
 

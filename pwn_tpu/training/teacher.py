@@ -75,11 +75,17 @@ def make_teacher_train_step(
     )
 
 
-def make_teacher_eval_step(model: TeacherWaveNet, cfg: Config):
-    """Jitted validation NLL."""
+def make_teacher_eval_step(
+    model: TeacherWaveNet, cfg: Config, mesh: Mesh | None = None
+):
+    """Jitted validation NLL.  With a mesh, both params and the (identical
+    per-host) val batch are replicated so the eval is SPMD-safe."""
 
     def eval_step(params, wav):
         x, mel = prepare_batch(wav, cfg)
         return model.apply({"params": params}, x, mel, method="loss")
 
-    return jax.jit(eval_step)
+    if mesh is None or mesh.shape.get("model", 1) > 1:
+        return jax.jit(eval_step)
+    rep = replicated(mesh)
+    return jax.jit(eval_step, in_shardings=(rep, rep), out_shardings=rep)

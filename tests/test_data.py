@@ -121,3 +121,17 @@ def test_grain_engine_in_training_loop(tmp_path):
                                num_steps=2)
     assert res.steps_run == 2
     assert np.isfinite(res.final_metrics["loss"])
+
+
+def test_grain_multiworker_stream_identical():
+    """grain mp_prefetch workers must not change the batch stream (all
+    randomness is index-keyed; workers are pure transport)."""
+    from pwn_tpu.data.grain_pipeline import make_grain_iterator
+    from pwn_tpu.data import SyntheticTones
+
+    ds = SyntheticTones(8, 4000, CFG.dsp.sample_rate)
+    it0 = make_grain_iterator(ds, CFG, 2, seed=5, num_workers=0)
+    ref = [next(it0) for _ in range(3)]
+    it2 = make_grain_iterator(ds, CFG, 2, seed=5, num_workers=2)
+    for r in ref:
+        np.testing.assert_array_equal(next(it2), r)

