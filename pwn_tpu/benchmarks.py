@@ -240,12 +240,128 @@ def measure_teacher_ar_sampling(
     }
 
 
+# ---------------------------------------------------------------------------
+# Analytic FLOPs model + MFU (SURVEY.md §6; VERDICT r1 next-item 9)
+# ---------------------------------------------------------------------------
+
+# bf16 peak per chip by device kind substring (datasheet numbers).
+_PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0, "v5e": 197.0, "v5litepod": 197.0,
+    "v4": 275.0, "v5p": 459.0, "v6e": 918.0, "v6": 918.0,
+}
+
+
+def peak_bf16_tflops() -> float | None:
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, val in _PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def _stack_macs_per_sample(C: int, G: int, S: int, M: int, L: int,
+                           out_dim: int) -> float:
+    """MACs per output timestep of one WaveNetStack (front 1x1 + L gated
+    layers as two wide GEMMs + relu/1x1/1x1 head) — mirrors
+    models/modules.py::gated_layer_xla exactly."""
+    return (C                               # front 1x1 (1 -> C)
+            + L * ((2 * C + M) * G          # gate GEMM [x|shift|cond]@w_in
+                   + (G // 2) * (C + S))    # out GEMM z@[w_res|w_skip]
+            + S * S + S * out_dim)          # head1 + head2
+
+
+def _upsample_macs_per_sample(cfg: Config) -> float:
+    """Transposed-conv mel upsampler MACs amortized per OUTPUT sample."""
+    M = cfg.dsp.n_mels
+    strides = list(cfg.teacher.upsample_strides)
+    mult = cfg.teacher.upsample_kernel_mult
+    total = 0.0
+    for i, s in enumerate(strides):
+        after = 1
+        for s2 in strides[i + 1:]:
+            after *= s2
+        total += (s * mult) * M * M / after
+    return total
+
+
+def student_gen_flops_per_sample(cfg: Config) -> float:
+    """Forward FLOPs per generated audio sample (all flows + upsampler)."""
+    sc = cfg.student
+    macs = cfg.student.n_flows * _stack_macs_per_sample(
+        sc.residual_channels, sc.gate_channels, sc.skip_channels,
+        cfg.dsp.n_mels, sc.layers_per_flow, out_dim=2,
+    ) + _upsample_macs_per_sample(cfg)
+    return 2.0 * macs
+
+
+def teacher_fwd_flops_per_sample(cfg: Config) -> float:
+    tc = cfg.teacher
+    macs = _stack_macs_per_sample(
+        tc.residual_channels, tc.gate_channels, tc.skip_channels,
+        cfg.dsp.n_mels, tc.n_layers, out_dim=3 * tc.n_mixtures,
+    ) + _upsample_macs_per_sample(cfg)
+    return 2.0 * macs
+
+
+def _dp_scaling_cpu_sim() -> Any:
+    """CPU-simulated DP scaling table in a subprocess with 8 virtual
+    devices (the single-chip axon environment cannot grow real devices).
+    Rows are labelled sim — throughput is bounded by the shared host
+    cores, so the table audits the sharding machinery, not ICI."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import json, os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from pwn_tpu.benchmarks import measure_scaling\n"
+        "from pwn_tpu.config import get_config, override\n"
+        "cfg = override(get_config('tiny_teacher'),"
+        " 'train.crop_samples', 1024)\n"
+        "cfg = override(cfg, 'train.global_batch_size', 8)\n"
+        "print('DPSCALE ' + json.dumps(measure_scaling(cfg, n_iters=2)))\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("DPSCALE "):
+                rows = json.loads(line[len("DPSCALE "):])
+                for row in rows:
+                    row["sim"] = "cpu-8dev-tiny"
+                return rows
+        return {"error": (r.stderr or r.stdout)[-500:]}
+    except Exception as e:  # never fail the bench over the sim table
+        return {"error": repr(e)}
+
+
 def run_bench(case: str = "student_iaf", overrides=None,
               full: bool = True) -> Dict[str, Any]:
     cfg = get_config(case, **(overrides or {}))
     student = measure_student_inference(cfg)
     detail: Dict[str, Any] = {"student": student,
                               "device": str(jax.devices()[0])}
+    peak = peak_bf16_tflops()
+    s_flops_rate = (student_gen_flops_per_sample(cfg)
+                    * student["samples_per_s"])
+    mfu: Dict[str, Any] = {
+        "peak_bf16_tflops": peak,
+        "student_infer_tflops": round(s_flops_rate / 1e12, 3),
+        "student_infer": (round(s_flops_rate / (peak * 1e12), 4)
+                          if peak else None),
+        "note": "analytic GEMM/conv FLOPs vs datasheet bf16 peak",
+    }
     if full:
         detail["teacher_train"] = measure_teacher_train(
             get_config("teacher_lj")
@@ -256,10 +372,20 @@ def run_bench(case: str = "student_iaf", overrides=None,
         detail["teacher_ar"] = measure_teacher_ar_sampling(
             get_config("teacher_lj")
         )
+        # train fwd+bwd ~= 3x forward FLOPs
+        t_cfg = get_config("teacher_lj")
+        t_rate = (3.0 * teacher_fwd_flops_per_sample(t_cfg)
+                  * detail["teacher_train"]["samples_per_s"])
+        mfu["teacher_train_tflops"] = round(t_rate / 1e12, 3)
+        mfu["teacher_train"] = (round(t_rate / (peak * 1e12), 4)
+                                if peak else None)
         if jax.local_device_count() > 1:
             detail["dp_scaling"] = measure_scaling(
                 get_config("teacher_lj")
             )
+        else:
+            detail["dp_scaling"] = _dp_scaling_cpu_sim()
+    detail["mfu"] = mfu
     value = student["audio_sec_per_s_per_chip"]
     return {
         # ONE-LINE driver contract (repo-root bench.py prints this):

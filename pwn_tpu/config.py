@@ -155,6 +155,10 @@ class TrainConfig:
     data_engine: str = "auto"
     # grain engine only: multiprocess prefetch workers (0 = in-process)
     grain_workers: int = 0
+    # synthetic corpus family when no --data-dir is given: "tones"
+    # (5-harmonic AM tones) or "speech" (formant glides, fricatives,
+    # plosives, silences — the harder signal)
+    synthetic_corpus: str = "tones"
 
 
 @dataclass(frozen=True)

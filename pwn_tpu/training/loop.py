@@ -63,14 +63,19 @@ def build_dataset(cfg: Config, data_dir: Optional[str], split: str = "train"):
             process_count=jax.process_count(),
             files=train_files,
         )
+    from pwn_tpu.data import SyntheticSpeech
+
+    corpus_cls = (SyntheticSpeech
+                  if cfg.train.synthetic_corpus == "speech"
+                  else SyntheticTones)
     if split == "val":
-        return SyntheticTones(
+        return corpus_cls(
             n_clips=8,
             n_samples=max(cfg.train.crop_samples, cfg.dsp.sample_rate),
             sample_rate=cfg.dsp.sample_rate,
             seed=7919,  # disjoint from every per-host train seed
         )
-    return SyntheticTones(
+    return corpus_cls(
         n_clips=64,
         n_samples=max(cfg.train.crop_samples, cfg.dsp.sample_rate),
         sample_rate=cfg.dsp.sample_rate,

@@ -86,3 +86,22 @@ def test_mesh_rejects_uncovered_devices():
 
     with pytest.raises(ValueError):
         make_mesh(MeshConfig(data=2, model=2))  # 4 != 8 devices
+
+
+def test_flops_model_and_peak_lookup():
+    """Analytic FLOPs model (bench MFU): monotone in model size, and the
+    peak table degrades to None off-TPU."""
+    from pwn_tpu.benchmarks import (
+        peak_bf16_tflops,
+        student_gen_flops_per_sample,
+        teacher_fwd_flops_per_sample,
+    )
+    from pwn_tpu.config import get_config
+
+    tiny = teacher_fwd_flops_per_sample(get_config("tiny_teacher"))
+    lj = teacher_fwd_flops_per_sample(get_config("teacher_lj"))
+    assert 0 < tiny < lj
+    s = student_gen_flops_per_sample(get_config("student_iaf"))
+    big = student_gen_flops_per_sample(get_config("large_student_sharded"))
+    assert 0 < s < big
+    assert peak_bf16_tflops() is None  # cpu test env
