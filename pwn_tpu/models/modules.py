@@ -137,7 +137,11 @@ def resolve_stack_mode(flag: str) -> str:
 
       "off"          -> "xla"   (lax.scan / unrolled XLA paths)
       "on" / "layer" -> "layer" (per-layer Pallas gated kernel)
-      "mega"         -> "mega"  (whole-stack Pallas megakernel)
+      "mega"         -> "mega"  (whole-stack Pallas megakernel,
+                        XLA-recompute backward)
+      "mega_train"   -> "mega_train" (megakernel forward saving
+                        per-layer inputs + fused Pallas backward —
+                        the training-step mode)
       "auto"         -> "mega" off-CPU, "xla" on CPU (the interpreter
                         would crawl; CI covers the kernels explicitly)
     """
@@ -145,6 +149,8 @@ def resolve_stack_mode(flag: str) -> str:
         return "layer"
     if flag == "mega":
         return "mega"
+    if flag == "mega_train":
+        return "mega_train" if jax.default_backend() != "cpu" else "xla"
     if flag == "off":
         return "xla"
     return "mega" if jax.default_backend() != "cpu" else "xla"
@@ -184,6 +190,10 @@ class WaveNetStack(nn.Module):
     # process each time-tile with histories VMEM-resident — the fastest
     # forward on TPU (inter-layer activations never touch HBM).
     mega: bool = False
+    # Training variant: megakernel forward that saves per-layer inputs +
+    # a fused Pallas backward (anti-causal wavefront) instead of the
+    # XLA-recompute VJP.
+    mega_train: bool = False
     # lax.scan over stacked layer weights: fastest pure-XLA FORWARD (1.5x
     # over the unrolled graph on v5e), but its backward executes as a
     # second scan that is ~1.6x slower than the unrolled backward — so
@@ -211,7 +221,17 @@ class WaveNetStack(nn.Module):
             for i in range(len(self.dilations))
         ]
 
-        if self.mega and max(self.dilations) <= pallas_ops.TIME_TILE:
+        if self.mega_train and max(self.dilations) <= pallas_ops.TIME_TILE:
+            from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack_train
+
+            w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)
+            skip_total = fused_flow_stack_train(
+                x, cond, w_in, b_g,
+                w_out,
+                jnp.concatenate([b_res, b_skip], axis=1),
+                dilations=tuple(self.dilations),
+            )
+        elif self.mega and max(self.dilations) <= pallas_ops.TIME_TILE:
             from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack
 
             w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)

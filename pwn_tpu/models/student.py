@@ -80,6 +80,8 @@ class StudentIAF(nn.Module):
                 dtype=dtype,
                 fused=resolve_stack_mode(sc.fused_layers) == "layer",
                 mega=resolve_stack_mode(sc.fused_layers) == "mega",
+                mega_train=resolve_stack_mode(sc.fused_layers)
+                == "mega_train",
                 use_scan=self.use_scan,
                 name=f"flow_{i}",
             )
@@ -127,6 +129,26 @@ class StudentIAF(nn.Module):
         z = mol.sample_logistic(key, (B, F * hop)) * temperature
         cond = self.upsample(mel)
         cond = _match_length(cond, z.shape[-1])
+        return self.flows_from_z(z, cond)
+
+    def generate_from_z(self, z: jax.Array, mel: jax.Array) -> jax.Array:
+        """Synthesis from caller-provided base noise z (B, T).
+
+        The sharded generation paths (parallel/tp.py batch sharding,
+        parallel/sp.py overlap-recompute SP) draw the global z outside
+        the shard so every shard sees the identical stream."""
+        cond = self.upsample(mel)
+        cond = _match_length(cond, z.shape[-1])
+        return self.flows_from_z(z, cond)
+
+    def upsample_cond(self, mel: jax.Array) -> jax.Array:
+        """Just the conditioning upsampler (B, F, M) -> (B, F*hop, M);
+        the SP path upsamples per-shard mel windows with frame halos."""
+        return self.upsample(mel)
+
+    def flows_from_z(self, z: jax.Array, cond: jax.Array) -> jax.Array:
+        """Apply the flow chain to (z, sample-rate cond); shared tail of
+        the generate paths."""
         clamp = self.config.student.log_scale_clamp
         for flow in self.flows:
             h = shift_right(z[..., None], 1)

@@ -56,6 +56,7 @@ class TeacherWaveNet(nn.Module):
             dtype=dtype,
             fused=resolve_stack_mode(tc.fused_layers) == "layer",
             mega=resolve_stack_mode(tc.fused_layers) == "mega",
+            mega_train=resolve_stack_mode(tc.fused_layers) == "mega_train",
             use_scan=self.use_scan,
             name="stack",
         )

@@ -274,3 +274,450 @@ def fused_flow_stack(
     return _flow_stack(
         tuple(dilations), interpret, x0, cond, w_in, b_g, w_out, b_rs
     )
+
+
+# ===========================================================================
+# Training path: Pallas forward-with-activation-save + Pallas backward
+# (VERDICT r1 item 2 — the megakernel's VJP used to recompute in pure XLA,
+# leaving teacher training at ~27% MFU).
+#
+# Design: an anti-causal mirror of the forward wavefront.  Time tiles run
+# REVERSED (the shifted-operand cotangent flows from x[t+d] back to x[t],
+# so each layer keeps a one-tile cotangent history for the EARLIER tile);
+# within a tile, layers run reversed with the dx chain carried entirely
+# in-register, so the (B,T,G) gate tensor, the activation, and all their
+# cotangents never touch HBM.  Because the fp32 weight-grad accumulators
+# must stay VMEM-resident across the whole grid, the stack is split into
+# layer CHUNKS sized to VMEM (one pallas_call per chunk, top chunk first;
+# dx crosses HBM once per chunk boundary instead of once per layer).
+# ===========================================================================
+
+
+def _fwd_save_kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref,
+                     b_rs_ref, skip_ref, acts_ref, hist, *,
+                     dilations: Sequence[int], C: int, S: int, tile: int,
+                     bb: int):
+    """Forward identical to `_kernel`, additionally writing each layer's
+    INPUT x_l to acts_ref[l] (the residuals the backward needs)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _reset():
+        hist[...] = jnp.zeros_like(hist)
+
+    f32 = jnp.float32
+    x = x0_ref[...]
+    cond_t = cond_ref[...]
+    skip_acc = jnp.zeros((bb, tile, S), f32)
+
+    for l, d in enumerate(dilations):
+        prev = hist[l]
+        hist[l] = x
+        acts_ref[l] = x  # save layer input for the backward
+        if d == tile:
+            shifted = prev
+        else:
+            shifted = jnp.concatenate(
+                [prev[:, tile - d:], x[:, : tile - d]], axis=1
+            )
+        cat = jnp.concatenate([x, shifted, cond_t], axis=-1)
+        g = (
+            jnp.dot(cat.reshape(bb * tile, -1), w_in_ref[l],
+                    preferred_element_type=f32)
+            + b_g_ref[l].astype(f32)
+        )
+        half = g.shape[-1] // 2
+        z = (jnp.tanh(g[:, :half]) * jax.nn.sigmoid(g[:, half:])).astype(
+            x.dtype
+        )
+        out = (
+            jnp.dot(z, w_out_ref[l], preferred_element_type=f32)
+            + b_rs_ref[l].astype(f32)
+        ).reshape(bb, tile, C + S)
+        x = x + out[..., :C].astype(x.dtype)
+        skip_acc = skip_acc + out[..., C:]
+
+    skip_ref[...] = skip_acc.astype(x.dtype)
+
+
+def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
+                      w_in_ref, b_g_ref, w_out_ref, dx_top_ref,
+                      dx_ref, dcond_ref, dw_in_ref, db_g_ref, dw_out_ref,
+                      db_rs_ref, hist, *, dilations: Sequence[int],
+                      C: int, S: int, M: int, tile: int, bb: int,
+                      n_tiles: int):
+    """One (batch-block, reversed-time-tile) grid cell for a CHUNK of
+    layers [l0, l1).  `dilations` holds the chunk's per-layer dilations
+    (static).  Per cell, layers run reversed with the dx chain carried in
+    registers; for each layer:
+
+        recompute  g -> (ta, sb, z)          from saved input acts[l]
+        dout = [dx_{l+1} | dskip]
+        dz -> (da, db) -> dg -> dcat; dw_out/db_rs/dw_in/db_g accumulate
+        dx_l = dx_{l+1} + dcat_x + unshift(dcat_shift) + hist[l]
+
+    `hist[l]` carries the first-d-rows cotangent to the earlier tile
+    (anti-causal mirror of the forward wavefront history).
+    """
+    ri = pl.program_id(1)   # reversed tile index: tile = nT-1-ri
+    f32 = jnp.float32
+    Lc = len(dilations)
+
+    @pl.when(ri == 0)
+    def _reset():
+        hist[...] = jnp.zeros_like(hist)
+
+    @pl.when((pl.program_id(0) == 0) & (ri == 0))
+    def _init_weight_grads():
+        dw_in_ref[...] = jnp.zeros_like(dw_in_ref)
+        db_g_ref[...] = jnp.zeros_like(db_g_ref)
+        dw_out_ref[...] = jnp.zeros_like(dw_out_ref)
+        db_rs_ref[...] = jnp.zeros_like(db_rs_ref)
+
+    dt = acts_ref.dtype
+    # the chronologically-first tile has zero causal history; the prev
+    # view is index-clamped there, so mask it
+    not_first = (ri != n_tiles - 1).astype(dt)
+    cond_t = cond_ref[...]
+    dskip_t = dskip_ref[...].astype(f32).reshape(bb * tile, S)
+
+    dx = dx_top_ref[...].astype(f32)          # cotangent of x_{l1}
+    dcond_acc = jnp.zeros((bb, tile, M), f32)
+
+    for li in range(Lc - 1, -1, -1):
+        d = dilations[li]
+        x = acts_ref[li]                      # (bb, tile, C) layer input
+        prev = acts_prev_ref[li] * not_first
+
+        # ---- forward recompute ----
+        if d == tile:
+            shifted = prev
+        else:
+            shifted = jnp.concatenate(
+                [prev[:, tile - d:], x[:, : tile - d]], axis=1
+            )
+        cat2 = jnp.concatenate([x, shifted, cond_t], axis=-1).reshape(
+            bb * tile, 2 * C + M
+        )
+        g = (
+            jnp.dot(cat2, w_in_ref[li], preferred_element_type=f32)
+            + b_g_ref[li].astype(f32)
+        )
+        half = g.shape[-1] // 2
+        ta = jnp.tanh(g[:, :half])
+        sb = jax.nn.sigmoid(g[:, half:])
+        z = (ta * sb).astype(dt)
+
+        # ---- cotangent chain ----
+        dout = jnp.concatenate(
+            [dx.reshape(bb * tile, C), dskip_t], axis=-1
+        ).astype(dt)                           # (bbT, C+S)
+        dz = jnp.dot(dout, w_out_ref[li].T,
+                     preferred_element_type=f32)
+        da = dz * sb * (1.0 - ta * ta)
+        db = dz * ta * sb * (1.0 - sb)
+        dg = jnp.concatenate([da, db], axis=-1).astype(dt)
+        dcat = jnp.dot(dg, w_in_ref[li].T,
+                       preferred_element_type=f32)
+
+        dw_out_ref[li] += jnp.dot(z.T, dout, preferred_element_type=f32)
+        db_rs_ref[li] += jnp.sum(dout.astype(f32), axis=0)
+        dw_in_ref[li] += jnp.dot(cat2.T, dg, preferred_element_type=f32)
+        db_g_ref[li] += jnp.sum(dg.astype(f32), axis=0)
+
+        dcat = dcat.reshape(bb, tile, 2 * C + M)
+        dcs = dcat[..., C: 2 * C]   # cotangent into shift(x, d)
+        dcond_acc = dcond_acc + dcat[..., 2 * C:]
+
+        # shift(x,d)[t] = x[t-d]: rows [d, tile) act within this tile;
+        # rows [0, d) belong to the earlier tile -> stash in hist
+        if d == tile:
+            within = jnp.zeros_like(dcs)
+            stash = dcs
+        else:
+            within = jnp.concatenate(
+                [dcs[:, d:], jnp.zeros_like(dcs[:, :d])], axis=1
+            )
+            stash = jnp.concatenate(
+                [jnp.zeros_like(dcs[:, d:]), dcs[:, :d]], axis=1
+            )
+        from_later = hist[li].astype(f32)  # zeroed at ri==0 by _reset
+        hist[li] = stash.astype(dt)
+
+        dx = dx + dcat[..., :C] + within + from_later
+
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dcond_ref[...] = dcond_acc.astype(dcond_ref.dtype)
+
+
+def _flow_stack_train_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
+                               w_out, b_rs):
+    """Pallas forward that also emits the per-layer inputs (L, B, Tp, C)."""
+    B, T, C = x0.shape
+    M = cond.shape[-1]
+    L, K_in, G = w_in.shape
+    S = w_out.shape[-1] - C
+    tile = max(FLOW_TILE, TIME_TILE)
+    if max(dilations) > tile:
+        raise ValueError(
+            f"max dilation {max(dilations)} > TIME_TILE {tile}"
+        )
+    pad = (-T) % tile
+    if pad:
+        x0 = jnp.pad(x0, ((0, 0), (0, pad), (0, 0)))
+        cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
+    Tp = T + pad
+    dt = x0.dtype
+    cond = cond.astype(dt)
+    w_in = w_in.astype(dt)
+    w_out = w_out.astype(dt)
+
+    hist_budget = 4 * 1024 * 1024
+    bb = B
+    # hist scratch + the acts output block both hold (L, bb, tile, C)
+    while bb > 1 and 2 * L * bb * tile * C * x0.dtype.itemsize > hist_budget:
+        bb //= 2
+    while B % bb:
+        bb -= 1
+
+    grid = (B // bb, Tp // tile)
+    tmap = lambda b, i: (b, i, 0)  # noqa: E731
+    amap = lambda b, i: (0, b, i, 0)  # noqa: E731
+    full3 = lambda b, i: (0, 0, 0)  # noqa: E731
+    full2 = lambda b, i: (0, 0)  # noqa: E731
+
+    skip, acts = pl.pallas_call(
+        functools.partial(
+            _fwd_save_kernel, dilations=tuple(dilations), C=C, S=S,
+            tile=tile, bb=bb,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, tile, C), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tile, M), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K_in, G), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, G), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, G // 2, C + S), full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, C + S), full2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, tile, S), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bb, tile, C), amap,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, S), dt),
+            jax.ShapeDtypeStruct((L, B, Tp, C), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((L, bb, tile, C), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Tp * L * (K_in * G + (G // 2) * (C + S)),
+            bytes_accessed=B * Tp * (2 * C + M + S + L * C)
+            * x0.dtype.itemsize,
+            transcendentals=B * Tp * L * G,
+        ),
+        interpret=interpret,
+    )(x0, cond, w_in, b_g.astype(jnp.float32), w_out,
+      b_rs.astype(jnp.float32))
+
+    if pad:
+        return skip[:, :T], acts, pad
+    return skip, acts, 0
+
+
+def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize):
+    """Pick (chunk_layers, bb): the largest divisor of L whose fp32
+    weight-grad accumulators + weights + activation views + history fit
+    the VMEM budget, with the largest batch block that still fits."""
+    budget = 10 * 1024 * 1024
+
+    def vmem(Lc, bb):
+        dw = Lc * (K_in * G + (G // 2) * (C + S) + G + C + S) * 4
+        w = Lc * (K_in * G + (G // 2) * (C + S)) * itemsize
+        act = 3 * Lc * bb * tile * C * itemsize  # 2 views + hist
+        io = bb * tile * (2 * C + 2 * M + S) * 4
+        return dw + w + act + io
+
+    divisors = [d for d in range(L, 0, -1) if L % d == 0]
+    for Lc in divisors:
+        bb = B
+        while bb > 1 and vmem(Lc, bb) > budget:
+            bb //= 2
+        while B % bb:
+            bb -= 1
+        if vmem(Lc, bb) <= budget:
+            return Lc, bb
+    return 1, 1
+
+
+def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
+                               b_g, w_out, dskip):
+    """Pallas backward: layer-chunked anti-causal wavefront (see header)."""
+    L, B, Tp, C = acts.shape
+    M = cond.shape[-1]
+    K_in, G = w_in.shape[1], w_in.shape[2]
+    S = w_out.shape[-1] - C
+    tile = max(FLOW_TILE, TIME_TILE)
+    n_tiles = Tp // tile
+    dt = acts.dtype
+    cond = cond.astype(dt)
+    dskip = dskip.astype(dt)
+    w_in = w_in.astype(dt)
+    w_out = w_out.astype(dt)
+    b_g32 = b_g.astype(jnp.float32)
+
+    Lc, bb = _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, dt.itemsize)
+    n_chunks = L // Lc
+
+    grid = (B // bb, n_tiles)
+    tmap = lambda b, ri: (b, n_tiles - 1 - ri, 0)  # noqa: E731
+    full2 = lambda b, ri: (0, 0)  # noqa: E731
+    full3 = lambda b, ri: (0, 0, 0)  # noqa: E731
+
+    dx = jnp.zeros((B, Tp, C), dt)  # cotangent of x_L (skip-only output)
+    dcond_parts = []
+    dw_in_parts, db_g_parts = [], []
+    dw_out_parts, db_rs_parts = [], []
+
+    # top chunk first: dx flows downward through chunk boundaries
+    for ci in range(n_chunks - 1, -1, -1):
+        l0, l1 = ci * Lc, (ci + 1) * Lc
+        a_cur = functools.partial(
+            lambda ci_, b, ri: (ci_, b, n_tiles - 1 - ri, 0), ci
+        )
+        a_prev = functools.partial(
+            lambda ci_, b, ri: (
+                ci_, b, jnp.maximum(n_tiles - 2 - ri, 0), 0
+            ),
+            ci,
+        )
+        wmap = functools.partial(lambda ci_, b, ri: (ci_, 0, 0), ci)
+        bmap = functools.partial(lambda ci_, b, ri: (ci_, 0), ci)
+
+        outs = pl.pallas_call(
+            functools.partial(
+                _bwd_chunk_kernel, dilations=tuple(dilations[l0:l1]),
+                C=C, S=S, M=M, tile=tile, bb=bb, n_tiles=n_tiles,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Lc, bb, tile, C), a_cur,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, bb, tile, C), a_prev,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, tile, M), tmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, tile, S), tmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, K_in, G), wmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, G), bmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, G // 2, C + S), wmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, tile, C), tmap,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bb, tile, C), tmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, tile, M), tmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, K_in, G), full3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, G), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, G // 2, C + S), full3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, C + S), full2,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Tp, C), dt),
+                jax.ShapeDtypeStruct((B, Tp, M), dt),
+                jax.ShapeDtypeStruct((Lc, K_in, G), jnp.float32),
+                jax.ShapeDtypeStruct((Lc, G), jnp.float32),
+                jax.ShapeDtypeStruct((Lc, G // 2, C + S), jnp.float32),
+                jax.ShapeDtypeStruct((Lc, C + S), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((Lc, bb, tile, C), dt)],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * Tp * Lc * (K_in * G + (G // 2) * (C + S)),
+                bytes_accessed=B * Tp * (2 * Lc * C + M + S + 2 * C + M)
+                * dt.itemsize,
+                transcendentals=B * Tp * Lc * G,
+            ),
+            interpret=interpret,
+        )(acts, acts, cond, dskip, w_in, b_g32, w_out, dx)
+        dx, dcond_c, dw_in_c, db_g_c, dw_out_c, db_rs_c = outs
+        dcond_parts.append(dcond_c.astype(jnp.float32))
+        dw_in_parts.insert(0, dw_in_c)
+        db_g_parts.insert(0, db_g_c)
+        dw_out_parts.insert(0, dw_out_c)
+        db_rs_parts.insert(0, db_rs_c)
+
+    dcond = sum(dcond_parts).astype(dt)
+    return (
+        dx,
+        dcond,
+        jnp.concatenate(dw_in_parts, axis=0),
+        jnp.concatenate(db_g_parts, axis=0),
+        jnp.concatenate(dw_out_parts, axis=0),
+        jnp.concatenate(db_rs_parts, axis=0),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flow_stack_train(dilations, interpret, x0, cond, w_in, b_g, w_out,
+                      b_rs):
+    skip, _, _ = _flow_stack_train_fwd_impl(
+        dilations, interpret, x0, cond, w_in, b_g, w_out, b_rs
+    )
+    return skip
+
+
+def _train_fwd(dilations, interpret, x0, cond, w_in, b_g, w_out, b_rs):
+    skip, acts, pad = _flow_stack_train_fwd_impl(
+        dilations, interpret, x0, cond, w_in, b_g, w_out, b_rs
+    )
+    return skip, (acts, cond, w_in, b_g, w_out, pad, x0.shape[1])
+
+
+def _train_bwd(dilations, interpret, res, dskip):
+    acts, cond, w_in, b_g, w_out, pad, T = res
+    if pad:
+        dskip = jnp.pad(dskip, ((0, 0), (0, pad), (0, 0)))
+        cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
+    dx, dcond, dw_in, db_g, dw_out, db_rs = _flow_stack_train_bwd_impl(
+        dilations, interpret, acts, cond, w_in, b_g, w_out, dskip
+    )
+    if pad:
+        dx = dx[:, :T]
+        dcond = dcond[:, :T]
+    return (dx, dcond, dw_in.astype(w_in.dtype), db_g, dw_out.astype(
+        w_out.dtype), db_rs)
+
+
+_flow_stack_train.defvjp(_train_fwd, _train_bwd)
+
+
+def fused_flow_stack_train(
+    x0: jax.Array,
+    cond: jax.Array,
+    w_in: jax.Array,
+    b_g: jax.Array,
+    w_out: jax.Array,
+    b_rs: jax.Array,
+    *,
+    dilations: Tuple[int, ...],
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Training-oriented whole-stack forward: same semantics as
+    `fused_flow_stack`, but its VJP is a fused Pallas backward kernel
+    instead of an XLA recompute (VERDICT r1 item 2).  The forward
+    additionally writes the (L, B, T, C) per-layer inputs to HBM as
+    backward residuals."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _flow_stack_train(
+        tuple(dilations), interpret, x0, cond, w_in, b_g, w_out, b_rs
+    )

@@ -20,6 +20,7 @@ full `data` axis is available for time.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pwn_tpu.config import Config
@@ -90,3 +91,120 @@ def make_sp_generate(student: StudentIAF, cfg: Config, mesh: Mesh):
 def shard_mel_time(mesh: Mesh, mel):
     """Place host mel (B, F, M) with the frame axis sharded over data."""
     return jax.device_put(mel, NamedSharding(mesh, P(None, "data", None)))
+
+
+# ---------------------------------------------------------------------------
+# Overlap-recompute SP: sequence parallelism that KEEPS the megakernel
+# (VERDICT r1 item 1).
+# ---------------------------------------------------------------------------
+
+
+def _sp_mega_geometry(cfg: Config):
+    """(R, H): overlap samples (hop-rounded full flow-chain receptive
+    field) and upsampler frame halo."""
+    sc = cfg.student
+    hop = cfg.dsp.hop_length
+    r = sc.n_flows * (sum(sc.flow_dilations) + 1)
+    R = -(-r // hop) * hop  # ceil to a hop multiple
+    H = cfg.teacher.upsample_kernel_mult * len(
+        cfg.teacher.upsample_strides
+    ) + 2
+    return R, H
+
+
+def validate_sp_mega(cfg: Config, mesh: Mesh, n_frames: int) -> None:
+    n = mesh.shape["data"] * mesh.shape["model"]
+    hop = cfg.dsp.hop_length
+    R, H = _sp_mega_geometry(cfg)
+    if n_frames % n:
+        raise ValueError(f"frames {n_frames} not divisible by {n} devices")
+    shard_T = (n_frames // n) * hop
+    if shard_T < R + H * hop:
+        raise ValueError(
+            f"SP shard of {shard_T} samples is smaller than the overlap "
+            f"{R} + upsampler halo {H * hop}; use >= "
+            f"{(R + H * hop) * n // hop} frames or fewer shards"
+        )
+    if shard_T + R + 2 * H * hop > n_frames * hop:
+        raise ValueError("window exceeds the utterance; use more frames")
+
+
+def make_sp_generate_mega(student: StudentIAF, cfg: Config, mesh: Mesh,
+                          temperature: float = 1.0):
+    """`(variables, key, mel) -> wav (B, T)` — time sharded over ALL mesh
+    devices with the Pallas megakernel intact inside `jax.shard_map`.
+
+    Unlike `make_sp_generate` (GSPMD halo exchange, XLA stack forced
+    because GSPMD cannot partition `pallas_call`), this path gives each
+    shard a static window of `R` overlap samples — the full flow-chain
+    receptive field, n_flows * (Σ dilations + 1) — recomputed from the
+    neighbor's region, so NO runtime communication is needed at all:
+
+    * the base noise z is drawn replicated ((B, T) floats: trivially
+      small next to the (T, C) layer activations SP exists to shard) and
+      sliced per shard, so every shard sees the identical stream;
+    * mel is consumed as per-shard frame windows with an `H`-frame halo
+      for the transposed-conv upsampler's edge support;
+    * shard 0 (and the right edge of the last shard) aligns its window
+      to the utterance boundary instead of padding, reproducing the
+      unsharded causal zero-history exactly (zero-padded mel would leak
+      bias-colored frames through the upsampler's second stage).
+
+    Overlap overhead: R/shard_T (<5% for the long-form utterances SP
+    targets).  Output == the unsharded `generate` up to kernel-vs-XLA
+    accumulation order.
+    """
+    from pwn_tpu.ops import mol
+
+    del student  # the sharded path builds its own module from cfg
+    from pwn_tpu.models.student import make_student
+
+    smodel = make_student(cfg)
+    hop = cfg.dsp.hop_length
+    R, H = _sp_mega_geometry(cfg)
+    axes = ("data", "model")
+
+    def local_gen(variables, key, mel):
+        n = jax.lax.axis_size(axes)
+        idx = jax.lax.axis_index(axes)
+        B, F = mel.shape[0], mel.shape[1]
+        T = F * hop
+        shard_T = T // n
+        WT = R + shard_T
+        WF = WT // hop + 2 * H
+
+        z_full = mol.sample_logistic(key, (B, T)) * temperature
+        start = idx * shard_T
+        window_start = jnp.where(idx == 0, 0, start - R)
+        z_win = jax.lax.dynamic_slice_in_dim(z_full, window_start, WT,
+                                             axis=1)
+        f_des = window_start // hop - H
+        f_start = jnp.clip(f_des, 0, F - WF)
+        mel_win = jax.lax.dynamic_slice_in_dim(mel, f_start, WF, axis=1)
+        cond = smodel.apply(variables, mel_win, method="upsample_cond")
+        off = window_start - f_start * hop
+        cond_win = jax.lax.dynamic_slice_in_dim(cond, off, WT, axis=1)
+        wav_win = smodel.apply(variables, z_win, cond_win,
+                               method="flows_from_z")
+        out_off = jnp.where(idx == 0, 0, R)
+        return jax.lax.dynamic_slice_in_dim(wav_win, out_off, shard_T,
+                                            axis=1)
+
+    rep = NamedSharding(mesh, P())
+    t_shard = NamedSharding(mesh, P(None, axes))
+    jitted = jax.jit(
+        jax.shard_map(
+            local_gen, mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(None, axes),
+            check_vma=False,
+        ),
+        in_shardings=(rep, rep, rep),
+        out_shardings=t_shard,
+    )
+
+    def checked(variables, key, mel):
+        validate_sp_mega(cfg, mesh, mel.shape[1])
+        return jitted(variables, key, mel)
+
+    return checked

@@ -102,3 +102,86 @@ def test_mega_mode_inside_model(rng):
     np.testing.assert_allclose(
         np.asarray(out_mega), np.asarray(out_off), rtol=1e-4, atol=1e-4
     )
+
+
+def test_train_kernel_forward_matches(rng):
+    """fused_flow_stack_train forward == inference megakernel == XLA."""
+    from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack_train
+
+    args, dils = _setup(rng)
+    s_t = fused_flow_stack_train(**args, dilations=dils)
+    s_r = _reference_xla(**args, dilations=dils)
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dils,T,B", [
+    ((1, 2, 4, 8), 1536, 2),      # multi-tile, growing dilations
+    ((1, 2, 4, 512), 1100, 2),    # full-tile dilation + ragged T (pad)
+    (tuple(2 ** i for i in range(10)), 2048, 2),  # student-shaped
+])
+def test_train_kernel_vjp_matches_xla(rng, dils, T, B):
+    """The fused Pallas backward (VERDICT r1 item 2) must reproduce the
+    XLA VJP for every input: dx0, dcond, dw_in, db_g, dw_out, db_rs."""
+    import functools
+
+    from pwn_tpu.ops.pallas.flow_stack import (
+        _reference_xla_unrolled,
+        fused_flow_stack_train,
+    )
+
+    args, _ = _setup(rng, B=B, T=T, dilations=dils)
+    order = ["x0", "cond", "w_in", "b_g", "w_out", "b_rs"]
+    vals = [args[k] for k in order]
+    ref_fn = functools.partial(_reference_xla_unrolled, dilations=dils)
+    new_fn = lambda *a: fused_flow_stack_train(  # noqa: E731
+        *a, dilations=dils, interpret=True
+    )
+    ct = _mk(rng, B, T, args["w_out"].shape[-1] - args["x0"].shape[-1],
+             scale=1.0)
+    out_r, vjp_r = jax.vjp(ref_fn, *vals)
+    out_n, vjp_n = jax.vjp(new_fn, *vals)
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-5)
+    for name, g_r, g_n in zip(order, vjp_r(ct), vjp_n(ct)):
+        np.testing.assert_allclose(
+            np.asarray(g_n), np.asarray(g_r), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_train_kernel_vjp_chunked(rng, monkeypatch):
+    """Multi-chunk backward (layer chunks sized to VMEM) must agree with
+    the XLA VJP — forces 2 chunks regardless of the real budget."""
+    import functools
+
+    from pwn_tpu.ops.pallas import flow_stack as fs
+
+    dils = (1, 2, 4, 8)
+    args, _ = _setup(rng, B=2, T=1536, dilations=dils)
+    monkeypatch.setattr(fs, "_bwd_chunk_layout",
+                        lambda *a, **k: (2, 1))  # 2 layers/chunk, bb=1
+    order = ["x0", "cond", "w_in", "b_g", "w_out", "b_rs"]
+    vals = [args[k] for k in order]
+    ref_fn = functools.partial(fs._reference_xla_unrolled, dilations=dils)
+    new_fn = lambda *a: fs.fused_flow_stack_train(  # noqa: E731
+        *a, dilations=dils, interpret=True
+    )
+    ct = _mk(rng, 2, 1536, 16, scale=1.0)
+    _, vjp_r = jax.vjp(ref_fn, *vals)
+    _, vjp_n = jax.vjp(new_fn, *vals)
+    for name, g_r, g_n in zip(order, vjp_r(ct), vjp_n(ct)):
+        np.testing.assert_allclose(
+            np.asarray(g_n), np.asarray(g_r), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch for {name} (chunked)",
+        )
+
+
+def test_mega_train_mode_resolution():
+    """mega_train resolves to the train kernel off-CPU and to XLA on CPU
+    (interpret-mode training would crawl)."""
+    from pwn_tpu.models.modules import resolve_stack_mode
+
+    assert resolve_stack_mode("mega_train") == "xla"  # cpu test env
+    assert resolve_stack_mode("off") == "xla"
+    assert resolve_stack_mode("mega") == "mega"

@@ -57,3 +57,43 @@ def test_sp_rejects_undersized_shards(rng):
                shard_mel_time(mesh, mel))
     with pytest.raises(ValueError, match="divisible"):
         validate_sp(CFG, mesh, 17)
+
+
+def test_sp_mega_matches_single_device(rng):
+    """Overlap-recompute SP (shard_map, kernel-capable path) ==
+    unsharded generate — VERDICT r1 item 1 equivalence gate."""
+    from pwn_tpu.parallel.sp import make_sp_generate_mega
+
+    cfg = get_config("tiny_teacher")  # fused auto -> xla on CPU; the
+    # kernel == xla equivalence is covered by tests/test_flow_stack.py
+    model, variables = init_student(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(MeshConfig(data=4, model=2))  # joint-axis sharding
+    key = jax.random.PRNGKey(5)
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (1, 320, cfg.dsp.n_mels)).astype(np.float32)
+    )
+    gen = make_sp_generate_mega(model, cfg, mesh)
+    wav = gen(variables, key, mel)
+    assert len(wav.addressable_shards) == 8
+    ref = jax.jit(
+        lambda v, k, m: model.apply(v, k, m, method="generate")
+    )(variables, key, mel)
+    np.testing.assert_allclose(
+        np.asarray(wav), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sp_mega_rejects_undersized_shards(rng):
+    from pwn_tpu.parallel.sp import make_sp_generate_mega, validate_sp_mega
+
+    cfg = get_config("tiny_teacher")
+    model, variables = init_student(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (1, 64, cfg.dsp.n_mels)).astype(np.float32)
+    )
+    gen = make_sp_generate_mega(model, cfg, mesh)
+    with pytest.raises(ValueError, match="overlap"):
+        gen(variables, jax.random.PRNGKey(0), mel)
+    with pytest.raises(ValueError, match="divisible"):
+        validate_sp_mega(cfg, mesh, 321)

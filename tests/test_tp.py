@@ -118,3 +118,38 @@ def test_tp_training_loop_end_to_end(tmp_path):
     assert np.isfinite(res.final_metrics["loss"])
     w = res.state.params["stack"]["layer_0"]["w_dilated"]
     assert w.sharding.spec[2] == "model"
+
+
+def test_batch_sharded_generate_matches_unsharded(rng):
+    """shard_map batch-sharded synthesis over the full (data x model)
+    mesh == unsharded generate, with TP-sharded params re-gathered at
+    the jit boundary (VERDICT r1 item 1)."""
+    from pwn_tpu.models.student import init_student
+    from pwn_tpu.parallel.tp import make_batch_sharded_generate
+
+    cfg = get_config("tiny_teacher")
+    model, variables = init_student(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    B, F = 8, 64
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (B, F, cfg.dsp.n_mels)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(7)
+    ref = jax.jit(
+        lambda v, k, m: model.apply(v, k, m, method="generate")
+    )(variables, key, mel)
+
+    gen = make_batch_sharded_generate(cfg, mesh=mesh)
+    out = gen(variables, key, mel)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # and with the params actually TP-sharded (storage layout of
+    # config[4]): GSPMD must re-gather them transparently
+    sharded_vars = shard_state(variables, mesh)
+    out2 = gen(sharded_vars, key, mel)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="divisible"):
+        gen(variables, key, mel[:3])
