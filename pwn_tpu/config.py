@@ -71,11 +71,14 @@ class TeacherConfig:
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; losses in fp32
     # Stack execution mode: "off" (XLA scan/unrolled), "layer" (per-layer
     # Pallas gated kernel), "mega" (whole-stack Pallas megakernel with
-    # VMEM-resident inter-layer activations), "auto" (mega on TPU, XLA on
-    # CPU).  Measured v5e (round 1): mega 2.3x over the scan path for
-    # student synthesis (33.4 -> 14.4 ms per 16 audio-sec batch); the
-    # per-layer kernel roughly ties XLA.  Training steps force "off"
-    # (unrolled backward is fastest) — see training/loop.py.
+    # VMEM-resident inter-layer activations), "mega_train" (megakernel
+    # forward + fused Pallas backward), "auto" (mega on TPU, XLA on CPU;
+    # teacher TRAIN loops map auto -> mega_train: 18.2 vs 42.6 ms/step
+    # on v5e, r2 session 1).  Generation (v5e): mega 2.3x over the scan
+    # path at student sizes and 5.4x at config[4]; the per-layer kernel
+    # ties XLA at student sizes but wins 2.4x at config[4] — stacks too
+    # big for the megakernel's VMEM budget fall back to it
+    # (ops/pallas/flow_stack.py::mega_fits_vmem).
     fused_layers: str = "auto"
 
     @property

@@ -221,7 +221,20 @@ class WaveNetStack(nn.Module):
             for i in range(len(self.dilations))
         ]
 
-        if self.mega_train and max(self.dilations) <= pallas_ops.TIME_TILE:
+        from pwn_tpu.ops.pallas.flow_stack import mega_fits_vmem
+
+        # Megakernel eligibility: dilation bound (one-tile history reach)
+        # AND the whole-stack weights + histories must fit VMEM.  A
+        # requested-but-ineligible mega falls back to the PER-LAYER Pallas
+        # kernel (one layer's weights resident at a time — measured 2.4x
+        # over XLA at config[4] sizes, r2 TPU session 1), then to XLA.
+        tile_ok = max(self.dilations) <= pallas_ops.TIME_TILE
+        mega_ok = tile_ok and mega_fits_vmem(
+            len(self.dilations), C, G, S, cond.shape[-1],
+            jnp.dtype(dt).itemsize,
+        )
+
+        if self.mega_train and mega_ok:
             from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack_train
 
             w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)
@@ -231,7 +244,7 @@ class WaveNetStack(nn.Module):
                 jnp.concatenate([b_res, b_skip], axis=1),
                 dilations=tuple(self.dilations),
             )
-        elif self.mega and max(self.dilations) <= pallas_ops.TIME_TILE:
+        elif self.mega and mega_ok:
             from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack
 
             w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)
@@ -241,7 +254,7 @@ class WaveNetStack(nn.Module):
                 jnp.concatenate([b_res, b_skip], axis=1),
                 dilations=tuple(self.dilations),
             )
-        elif self.fused and max(self.dilations) <= pallas_ops.TIME_TILE:
+        elif (self.fused or self.mega or self.mega_train) and tile_ok:
             skip_total = jnp.zeros(x.shape[:-1] + (S,), dtype=dt)
             for lp, dilation in zip(layer_params, self.dilations):
                 x, skip = pallas_ops.fused_gated_residual(

@@ -276,6 +276,44 @@ def fused_flow_stack(
     )
 
 
+# Eligibility budget for the megakernel: VMEM is ~16 MB/core on v4/v5e;
+# leave headroom for Mosaic's pipeline double-buffers and register spill.
+MEGA_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def mega_vmem_bytes(n_layers: int, C: int, G: int, S: int, M: int,
+                    itemsize: int) -> int:
+    """Lower-bound VMEM footprint of the flow-stack megakernel.
+
+    The kernel keeps EVERY layer's weights plus an (L, bb, tile, C)
+    dilation history resident; this evaluates the footprint at the
+    smallest batch block (bb=1), i.e. the best the batch-halving loop in
+    `_flow_stack_fwd_impl` can do.  Stacks over `MEGA_VMEM_BUDGET` here
+    cannot compile no matter the batch block — callers should fall back
+    to the per-layer gated kernel (one layer's weights at a time;
+    measured 2.4x over XLA at config[4] sizes, r2 TPU session 1).
+    """
+    tile = max(FLOW_TILE, TIME_TILE)
+    K_in = 2 * C + M
+    weights = n_layers * (
+        K_in * G * itemsize          # w_in (compute dtype)
+        + G * 4                      # b_g (fp32)
+        + (G // 2) * (C + S) * itemsize  # w_out
+        + (C + S) * 4                # b_rs (fp32)
+    )
+    history = n_layers * tile * C * itemsize           # bb = 1
+    io_blocks = 2 * tile * (C + M + S) * itemsize      # double-buffered
+    return weights + history + io_blocks
+
+
+def mega_fits_vmem(n_layers: int, C: int, G: int, S: int, M: int,
+                   itemsize: int) -> bool:
+    return (
+        mega_vmem_bytes(n_layers, C, G, S, M, itemsize)
+        <= MEGA_VMEM_BUDGET
+    )
+
+
 # ===========================================================================
 # Training path: Pallas forward-with-activation-save + Pallas backward
 # (VERDICT r1 item 2 — the megakernel's VJP used to recompute in pure XLA,

@@ -116,6 +116,8 @@ def validate_sp_mega(cfg: Config, mesh: Mesh, n_frames: int) -> None:
     n = mesh.shape["data"] * mesh.shape["model"]
     hop = cfg.dsp.hop_length
     R, H = _sp_mega_geometry(cfg)
+    if n == 1:
+        return  # degenerates to the unsharded single-pass generate
     if n_frames % n:
         raise ValueError(f"frames {n_frames} not divisible by {n} devices")
     shard_T = (n_frames // n) * hop
@@ -163,6 +165,16 @@ def make_sp_generate_mega(student: StudentIAF, cfg: Config, mesh: Mesh,
     hop = cfg.dsp.hop_length
     R, H = _sp_mega_geometry(cfg)
     axes = ("data", "model")
+
+    if mesh.shape["data"] * mesh.shape["model"] == 1:
+        # single device: no overlap window fits/helps — plain generate
+        jit_gen = jax.jit(
+            lambda variables, key, mel: smodel.apply(
+                variables, key, mel, method="generate",
+                temperature=temperature,
+            )
+        )
+        return jit_gen
 
     def local_gen(variables, key, mel):
         n = jax.lax.axis_size(axes)

@@ -28,7 +28,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pwn_tpu.config import Config
 from pwn_tpu.models.student import StudentIAF
@@ -127,9 +127,46 @@ def make_distill_train_step(
     if mesh.shape.get("model", 1) > 1:
         # TP: caller-driven placement (see teacher.py note).
         return jax.jit(train_step, donate_argnums=(0,))
+
+    # DP via shard_map so the Pallas teacher-scoring megakernel stays
+    # per-device (GSPMD cannot partition pallas_call; see teacher.py).
+    # The KL z-noise folds the data-axis index into the step key: each
+    # shard draws independent noise — a different (equally valid) Monte
+    # Carlo sample than the single-device draw, deterministic per
+    # (step, shard).
     rep = replicated(mesh)
+
+    def dp_grads(params, teacher_params, wav, step_key):
+        x_ref, mel = prepare_batch(wav, cfg)
+        key = jax.random.fold_in(step_key, jax.lax.axis_index("data"))
+
+        def loss_fn(p):
+            return distillation_losses(
+                student, teacher, p, teacher_params, x_ref, mel, key, cfg
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        return jax.lax.pmean((metrics, grads), "data")
+
+    sharded_grads = jax.shard_map(
+        dp_grads, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()), out_specs=P(),
+        check_vma=False,
+    )
+
+    def dp_train_step(state: TrainState, teacher_params, wav):
+        step_key = jax.random.fold_in(state.rng, state.step)
+        metrics, grads = sharded_grads(
+            state.params, teacher_params, wav, step_key
+        )
+        metrics["grad_norm"] = global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
     return jax.jit(
-        train_step,
+        dp_train_step,
         in_shardings=(rep, rep, batch_sharding(mesh)),
         out_shardings=(rep, rep),
         donate_argnums=(0,),

@@ -217,11 +217,19 @@ def run_teacher_training(
     num_steps: Optional[int] = None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
-    # unrolled XLA layers for training: the scan stack's (and the
-    # megakernel's recompute) backward is slower than unrolled
+    # Stack mode for the TRAIN step: "auto" -> the fused-backward train
+    # megakernel (18.2 vs 42.6 ms/step teacher_lj on v5e, r2 session 1;
+    # resolves to unrolled XLA on CPU where Pallas would interpret).
+    # Explicit flags pass through so "off" still forces pure XLA.
     from pwn_tpu.config import override as _ov
 
-    train_cfg_model = _ov(cfg, "teacher.fused_layers", "off")
+    train_flag = cfg.teacher.fused_layers
+    if train_flag == "auto":
+        # TP (model>1) shards params through GSPMD propagation, which
+        # cannot partition pallas_call — keep pure XLA there.
+        train_flag = "off" if mesh.shape.get("model", 1) > 1 \
+            else "mega_train"
+    train_cfg_model = _ov(cfg, "teacher.fused_layers", train_flag)
     model, variables = init_teacher(
         train_cfg_model, jax.random.PRNGKey(cfg.train.seed),
         use_scan=False,

@@ -27,7 +27,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pwn_tpu.config import Config
 from pwn_tpu.models.student import StudentIAF
@@ -102,9 +102,40 @@ def make_student_direct_train_step(
     if mesh.shape.get("model", 1) > 1:
         # TP: caller-driven placement (see training/teacher.py note).
         return jax.jit(train_step, donate_argnums=(0,))
+
+    # DP via shard_map (Pallas kernels stay per-device; see teacher.py);
+    # per-shard stochastic-loss keys fold in the data-axis index.
     rep = replicated(mesh)
+
+    def dp_grads(params, wav, step_key):
+        x_ref, mel = prepare_batch(wav, cfg)
+        key = jax.random.fold_in(step_key, jax.lax.axis_index("data"))
+
+        def loss_fn(p):
+            return direct_student_losses(
+                student, p, x_ref, mel, key, cfg
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        return jax.lax.pmean((metrics, grads), "data")
+
+    sharded_grads = jax.shard_map(
+        dp_grads, mesh=mesh, in_specs=(P(), P("data"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def dp_train_step(state: TrainState, wav: jax.Array):
+        step_key = jax.random.fold_in(state.rng, state.step)
+        metrics, grads = sharded_grads(state.params, wav, step_key)
+        metrics["grad_norm"] = global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
     return jax.jit(
-        train_step,
+        dp_train_step,
         in_shardings=(rep, batch_sharding(mesh)),
         out_shardings=(rep, rep),
         donate_argnums=(0,),

@@ -16,7 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pwn_tpu.config import Config
 from pwn_tpu.models.teacher import TeacherWaveNet
@@ -66,9 +66,36 @@ def make_teacher_train_step(
         # the batch (shard_batch); GSPMD derives layer collectives from
         # the parameter shardings — no explicit in_shardings here.
         return jax.jit(train_step, donate_argnums=(0,))
+
+    # DP via shard_map, NOT GSPMD sharding propagation: the train-stack
+    # Pallas megakernel (fused_layers="mega_train", 2.34x over XLA on
+    # v5e) is a pallas_call, which GSPMD cannot partition — shard_map
+    # keeps each device's kernel local and reduces the gradients with an
+    # explicit pmean (the psum of BASELINE config[3]).
     rep = replicated(mesh)
+
+    def dp_grads(params, wav):
+        x, mel = prepare_batch(wav, cfg)
+
+        def loss_fn(p):
+            return model.apply({"params": p}, x, mel, method="loss")
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return jax.lax.pmean((loss, grads), "data")
+
+    sharded_grads = jax.shard_map(
+        dp_grads, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(),
+        check_vma=False,
+    )
+
+    def dp_train_step(state: TrainState, wav: jax.Array):
+        loss, grads = sharded_grads(state.params, wav)
+        metrics = {"loss": loss, "grad_norm": global_norm(grads)}
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
     return jax.jit(
-        train_step,
+        dp_train_step,
         in_shardings=(rep, batch_sharding(mesh)),
         out_shardings=(rep, rep),
         donate_argnums=(0,),

@@ -104,3 +104,76 @@ def test_measure_scaling_table(rng):
     assert rows[0]["efficiency"] == 1.0
     for r in rows:
         assert r["utt_per_s"] > 0 and np.isfinite(r["efficiency"])
+
+
+def test_teacher_factory_dp_step_matches_single_device(rng):
+    """make_teacher_train_step's shard_map DP branch (kernel-capable:
+    pallas_call stays per-device, grads pmean'd) ≡ the mesh=None jit on
+    the same global batch — loss and updated params."""
+    model, variables = init_teacher(CFG, jax.random.PRNGKey(0))
+    ds = SyntheticTones(16, 2000, CFG.dsp.sample_rate)
+    wav = jnp.asarray(next(make_train_iterator(ds, CFG, 8, seed=3)))
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+
+    step_dp = make_teacher_train_step(model, CFG, mesh=mesh)
+    step_1d = make_teacher_train_step(model, CFG)
+    # the train steps donate the state: give each its own buffers
+    s_dp = create_train_state(
+        jax.tree.map(jnp.array, variables["params"]), CFG.train
+    )
+    s_1d = create_train_state(
+        jax.tree.map(jnp.array, variables["params"]), CFG.train
+    )
+    # Compare the LOSS TRAJECTORY, not post-adam params: adam's
+    # 1/(sqrt(v)+eps) flips ~0-gradient elements by a full +-lr on
+    # ~1e-7 reduction-order noise, but those elements barely move the
+    # loss — while a genuinely wrong gradient sync diverges the losses
+    # within a step or two.
+    wav_sh = shard_batch(mesh, wav)
+    for i in range(3):
+        s_dp, m_dp = step_dp(s_dp, wav_sh)
+        s_1d, m_1d = step_1d(s_1d, wav)
+        np.testing.assert_allclose(
+            float(m_dp["loss"]), float(m_1d["loss"]),
+            rtol=2e-5 if i == 0 else 1e-3,
+        )
+
+
+def test_stochastic_dp_steps_descend_sharded(rng):
+    """Distill + direct-student shard_map DP steps run sharded and
+    descend (per-shard keys fold in the data-axis index, so exact
+    single-device equality is not expected for these stochastic
+    losses)."""
+    from pwn_tpu.models.student import init_student
+    from pwn_tpu.training import make_distill_train_step
+    from pwn_tpu.training.student_direct import (
+        make_student_direct_train_step,
+    )
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    teacher, t_vars = init_teacher(CFG, jax.random.PRNGKey(0))
+    student, s_vars = init_student(CFG, jax.random.PRNGKey(1),
+                                   use_scan=False)
+    ds = SyntheticTones(16, 2000, CFG.dsp.sample_rate)
+    wav = shard_batch(
+        mesh, jnp.asarray(next(make_train_iterator(ds, CFG, 8, seed=3)))
+    )
+
+    d_step = make_distill_train_step(student, teacher, CFG, mesh=mesh)
+    s_step = make_student_direct_train_step(student, CFG, mesh=mesh)
+    for run in (
+        lambda st: d_step(st, t_vars["params"], wav),
+        lambda st: s_step(st, wav),
+    ):
+        state = create_train_state(
+            jax.tree.map(jnp.array, s_vars["params"]), CFG.train,
+            rng=jax.random.PRNGKey(7),
+        )
+        losses = []
+        for _ in range(12):
+            state, m = run(state)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        # per-shard MC keys make single-step losses noisy: compare the
+        # mean of the last third against the first third
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])

@@ -185,3 +185,41 @@ def test_mega_train_mode_resolution():
     assert resolve_stack_mode("mega_train") == "xla"  # cpu test env
     assert resolve_stack_mode("off") == "xla"
     assert resolve_stack_mode("mega") == "mega"
+
+
+def test_mega_vmem_eligibility():
+    """teacher_lj fits the megakernel's VMEM budget; a 24x256-ch stack
+    (w_in alone ~14.5 MB bf16) does not."""
+    from pwn_tpu.ops.pallas.flow_stack import mega_fits_vmem
+
+    # teacher_lj: L=24, C=128, G=256, S=128, M=80, bf16
+    assert mega_fits_vmem(24, 128, 256, 128, 80, 2)
+    # wide variant: C=256, G=512, S=256 — cannot be VMEM-resident
+    assert not mega_fits_vmem(24, 256, 512, 256, 80, 2)
+
+
+def test_mega_fallback_to_layer_kernel(rng, monkeypatch):
+    """A requested mega that fails the VMEM check must fall back to the
+    per-layer Pallas kernel (not silently to scan) and stay numerically
+    identical to the XLA path."""
+    from pwn_tpu.models import modules as mm
+    from pwn_tpu.ops.pallas import flow_stack as fs
+
+    monkeypatch.setattr(fs, "mega_fits_vmem", lambda *a, **k: False)
+
+    dils = (1, 2, 4)
+    stack_kw = dict(
+        dilations=dils, residual_channels=8, gate_channels=16,
+        skip_channels=8, out_dim=6, dtype=jnp.float32,
+    )
+    x = _mk(rng, 1, 600, 1, scale=1.0)
+    cond = _mk(rng, 1, 600, 4, scale=1.0)
+    m_mega = mm.WaveNetStack(**stack_kw, mega=True)
+    m_off = mm.WaveNetStack(**stack_kw, use_scan=False)
+    v = m_off.init(jax.random.PRNGKey(0), x, cond)
+    out_fallback = m_mega.apply(v, x, cond)
+    out_off = m_off.apply(v, x, cond)
+    np.testing.assert_allclose(
+        np.asarray(out_fallback), np.asarray(out_off),
+        rtol=1e-4, atol=1e-5,
+    )

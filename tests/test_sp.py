@@ -97,3 +97,29 @@ def test_sp_mega_rejects_undersized_shards(rng):
         gen(variables, jax.random.PRNGKey(0), mel)
     with pytest.raises(ValueError, match="divisible"):
         validate_sp_mega(cfg, mesh, 321)
+
+
+def test_sp_mega_single_device_degenerates_to_plain_generate(rng):
+    """A 1-device mesh has no shards to overlap: make_sp_generate_mega
+    must return the plain generate (r2 TPU session 1 hit a spurious
+    'window exceeds the utterance' refusal here)."""
+    from pwn_tpu.parallel.sp import make_sp_generate_mega, validate_sp_mega
+
+    from jax.sharding import Mesh
+
+    cfg = get_config("tiny_teacher")
+    model, variables = init_student(cfg, jax.random.PRNGKey(0))
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    key = jax.random.PRNGKey(5)
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (1, 40, cfg.dsp.n_mels)).astype(np.float32)
+    )
+    validate_sp_mega(cfg, mesh, 40)  # must not raise at n=1
+    gen = make_sp_generate_mega(model, cfg, mesh)
+    wav = gen(variables, key, mel)
+    ref = jax.jit(
+        lambda v, k, m: model.apply(v, k, m, method="generate")
+    )(variables, key, mel)
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
