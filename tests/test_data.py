@@ -163,3 +163,34 @@ def test_synthetic_speech_corpus():
     total = spec.sum()
     assert high / total > 0.02, high / total  # tones have ~none up there
     assert frac_silence > 0.01  # real pauses exist
+
+
+def test_wav_crop_dataset_cache_lru(tmp_path):
+    """The decode cache is byte-capped LRU: items evict oldest-first and
+    reads stay correct regardless of the budget."""
+    import numpy as np
+
+    from pwn_tpu.data.pipeline import WavCropDataset
+    from pwn_tpu.utils.audio_io import write_wav
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    clips = []
+    for i in range(4):
+        w = rng.uniform(-0.5, 0.5, 1000).astype(np.float32)
+        write_wav(str(tmp_path / f"c{i}.wav"), w, sr)
+        clips.append(w)
+
+    # budget of ~2 clips (1000 float32 = 4000 B each)
+    ds = WavCropDataset(str(tmp_path), sr, cache_bytes=9000)
+    ref = [np.asarray(ds[i]) for i in range(4)]
+    assert len(ds._cache) == 2 and ds._cache_size <= 9000
+    # re-reads of evicted items still correct
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(ds[i]), ref[i])
+
+    # zero budget: nothing cached, reads still work
+    ds0 = WavCropDataset(str(tmp_path), sr, cache_bytes=0)
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(ds0[i]), ref[i])
+    assert len(ds0._cache) == 0

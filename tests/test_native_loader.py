@@ -137,3 +137,17 @@ def test_host_sharding_partition(corpus):
     assert l0.n_clips >= 2 and l1.n_clips >= 2
     l0.close()
     l1.close()
+
+
+def test_cache_budget_preserves_stream(corpus):
+    """A tiny cache budget (forces on-demand decode for most clips) must
+    yield byte-identical batches to the fully-resident loader — the
+    (seed, step) -> clip mapping is fixed at header-parse time, not by
+    what happens to be cached (VERDICT r1 weak item 7)."""
+    full = NativeWavCropLoader(corpus, 256, 4, seed=11)
+    tiny = NativeWavCropLoader(corpus, 256, 4, seed=11, cache_bytes=1)
+    assert tiny.n_clips == full.n_clips
+    for _ in range(6):
+        np.testing.assert_array_equal(next(tiny), next(full))
+    full.close()
+    tiny.close()

@@ -76,6 +76,82 @@ def main():
             except Exception as e:
                 emit("ar", case=name, backend=backend,
                      error=repr(e)[:300])
+
+    # ---- retry the student mega_train Mosaic failure (session 1);
+    # also A/B the distill step with the student train kernel ----
+    from tools.r2_tpu_session1 import student_direct_step_ms
+
+    scfg = get_config("student_iaf")
+    for mode in ("off", "mega_train"):
+        try:
+            ms = student_direct_step_ms(scfg, mode)
+            emit("student_direct_retry", mode=mode, step_ms=round(ms, 2))
+        except Exception as e:
+            emit("student_direct_retry", mode=mode, error=repr(e)[:300])
+
+    import jax.numpy as jnp
+
+    from pwn_tpu.benchmarks import _time_chain, measure_round_trip_ms
+    from pwn_tpu.data import SyntheticTones, make_train_iterator
+    from pwn_tpu.models.student import init_student
+    from pwn_tpu.training.common import make_optimizer
+    from pwn_tpu.training.distill import distillation_losses
+    from pwn_tpu.training.teacher import prepare_batch
+
+    def distill_step_ms(mode, n_iters=4):
+        c = override(get_config("student_iaf"), "student.fused_layers",
+                     mode)
+        teacher, t_vars = init_teacher(c, jax.random.PRNGKey(0),
+                                       use_scan=True)
+        student, s_vars = init_student(c, jax.random.PRNGKey(1),
+                                       use_scan=False)
+        tx = make_optimizer(c.train)
+        params = s_vars["params"]
+        opt_state = tx.init(params)
+        B = c.train.global_batch_size
+        ds = SyntheticTones(8, c.train.crop_samples, c.dsp.sample_rate)
+        wav = jnp.asarray(next(make_train_iterator(ds, c, B, seed=0)))
+        rtt = measure_round_trip_ms()
+
+        @jax.jit
+        def chain(params, opt_state, t_params, wav, key):
+            x_ref, mel = prepare_batch(wav, c)
+
+            def body(i, carry):
+                params, opt_state, acc = carry
+
+                def loss_fn(p):
+                    loss, _ = distillation_losses(
+                        student, teacher, p, t_params, x_ref, mel,
+                        jax.random.fold_in(key, i), c,
+                    )
+                    return loss
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state)
+                params = jax.tree.map(lambda a, u: a + u, params,
+                                      updates)
+                return params, opt_state, acc + loss
+
+            _, _, acc = jax.lax.fori_loop(
+                0, n_iters, body, (params, opt_state, jnp.float32(0))
+            )
+            return acc
+
+        dt = _time_chain(
+            lambda: chain(params, opt_state, t_vars["params"], wav,
+                          jax.random.PRNGKey(2)),
+            n_iters, rtt_ms=rtt,
+        )
+        return dt * 1e3
+
+    for mode in ("off", "mega_train"):
+        try:
+            ms = distill_step_ms(mode)
+            emit("distill_step", student_mode=mode, step_ms=round(ms, 2))
+        except Exception as e:
+            emit("distill_step", student_mode=mode, error=repr(e)[:300])
+
     emit("done")
     return 0
 
