@@ -106,9 +106,11 @@ def measure_teacher_train(cfg: Config, n_iters: int = 6) -> Dict[str, Any]:
     """Teacher teacher-forcing training throughput: utterances/s."""
     from pwn_tpu.config import override
 
-    # same model mode as the real training loop: unrolled XLA layers
-    # (fastest backward; kernels are forward-optimized)
-    cfg = override(cfg, "teacher.fused_layers", "off")
+    # same model mode as the real training loop: the fused-backward
+    # train megakernel on TPU (18.2 vs 42.6 ms/step on v5e, r2 session
+    # 1), unrolled XLA on CPU (resolve_stack_mode maps mega_train->xla
+    # there)
+    cfg = override(cfg, "teacher.fused_layers", "mega_train")
     model, variables = init_teacher(cfg, jax.random.PRNGKey(0),
                                     use_scan=False)
     tx = make_optimizer(cfg.train)
