@@ -162,6 +162,9 @@ class TrainConfig:
     # (5-harmonic AM tones) or "speech" (formant glides, fricatives,
     # plosives, silences — the harder signal)
     synthetic_corpus: str = "tones"
+    # write native TensorBoard event files (utils/tensorboard.py;
+    # dependency-free writer) next to the jsonl metrics
+    tensorboard: bool = True
 
 
 @dataclass(frozen=True)

@@ -116,7 +116,14 @@ def _run(
             state, start_step = ckpt.restore(state)
             print(f"[{tag}] resumed from step {start_step}")
         logger = MetricsLogger(
-            os.path.join(workdir, f"metrics_{tag}.jsonl")
+            os.path.join(workdir, f"metrics_{tag}.jsonl"),
+            # native TB event files (utils/tensorboard.py, the
+            # reference's TensorBoard scalars [R]); process 0 only
+            tb_dir=(
+                os.path.join(workdir, f"tb_{tag}")
+                if cfg.train.tensorboard and jax.process_index() == 0
+                else None
+            ),
         )
 
     if mesh.shape.get("model", 1) > 1:
