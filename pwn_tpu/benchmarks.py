@@ -213,7 +213,9 @@ def measure_distill_train(cfg: Config, n_iters: int = 4) -> Dict[str, Any]:
 def measure_teacher_ar_sampling(
     cfg: Config, batch: int = 8, seconds: float = 0.25
 ) -> Dict[str, Any]:
-    """Fast-WaveNet conv-queue AR sampling throughput."""
+    """Teacher AR sampling throughput (the default backend: whole-loop
+    Pallas kernel on TPU — 4-6x over the conv-queue scan at every
+    measured size, r2 session 3 — scan on CPU)."""
     sr = cfg.dsp.sample_rate
     hop = cfg.dsp.hop_length
     frames = max(int(seconds * sr) // hop, 2)
@@ -226,9 +228,15 @@ def measure_teacher_ar_sampling(
     )
     rtt = measure_round_trip_ms()
 
+    fn = (
+        sampling.fast_sample
+        if jax.default_backend() == "cpu"
+        else sampling.fast_sample_pallas
+    )
+
     @jax.jit
     def run(v, key, mel):
-        return sampling.fast_sample(model, v, key, mel).sum()
+        return fn(model, v, key, mel).sum()
 
     key = jax.random.PRNGKey(1)
     dt = _time_chain(lambda: run(variables, key, mel), 1, rtt_ms=rtt)

@@ -86,9 +86,12 @@ def main(argv=None) -> int:
     p_gen.add_argument("--output", default="generated.wav")
     p_gen.add_argument("--seconds", type=float, default=1.0)
     p_gen.add_argument("--temperature", type=float, default=1.0)
-    p_gen.add_argument("--ar-backend", choices=["scan", "pallas"],
-                       default="scan",
-                       help="teacher AR sampler implementation")
+    p_gen.add_argument("--ar-backend",
+                       choices=["auto", "scan", "pallas"],
+                       default="auto",
+                       help="teacher AR sampler implementation (auto: "
+                            "the fused Pallas kernel on TPU — measured "
+                            "4-6x over the scan path — scan on CPU)")
     p_gen.add_argument("overrides", nargs="*")
 
     p_eval = sub.add_parser(

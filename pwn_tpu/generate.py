@@ -97,17 +97,23 @@ def generate_teacher(
     mel: jax.Array,
     key: jax.Array,
     temperature: float = 1.0,
-    ar_backend: str = "scan",
+    ar_backend: str = "auto",
 ) -> np.ndarray:
     """AR teacher synthesis.
 
-    ar_backend: "scan" (conv-queue lax.scan, default) or "pallas" (the
-    whole-loop fused kernel, ops/pallas/ar_sampler.py).  Both ~30-50
-    us/step on v5e (within this tunnel's measurement noise of each
-    other); the pallas path keeps all weights + queues VMEM-resident so
-    it is the one expected to win on larger stacks.
+    ar_backend: "auto" (pallas on TPU, scan on CPU), "scan" (conv-queue
+    lax.scan) or "pallas" (the whole-loop fused kernel,
+    ops/pallas/ar_sampler.py — all weights + conv queues VMEM-resident,
+    one kernel launch for the full waveform).  Measured back-to-back on
+    v5e (r2 TPU session 3, batch 8): pallas wins at EVERY size —
+    5.7 vs 34.8 us/step at teacher_lj (24x128), 10.5 vs 66.7 at 48
+    layers, 7.5 vs 30.7 at 256 channels — hence the default.
     """
     model = make_teacher(cfg)
+    if ar_backend == "auto":
+        ar_backend = (
+            "scan" if jax.default_backend() == "cpu" else "pallas"
+        )
     if ar_backend == "pallas":
         wav = sampling.fast_sample_pallas(
             model, {"params": teacher_params}, key, mel,

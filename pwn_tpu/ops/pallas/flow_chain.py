@@ -153,14 +153,16 @@ def fused_flow_step(
     w_h1 = w_h1.astype(dt)
     w_h2 = w_h2.astype(dt)
 
-    # batch-block sizing: same history budget as the flow-stack kernel
+    # Batch-block sizing.  The (bb, tile) z/z' blocks are 2-D, and
+    # Mosaic requires the last two block dims to be (8k, 128k) or equal
+    # to the array dims — so bb must stay a multiple of 8 (or be exactly
+    # B).  Within that, shrink toward 8 while the per-layer history
+    # scratch exceeds the flow-stack kernel's budget.
     hist_budget = 4 * 1024 * 1024
     bb = B
-    while bb > 1 and L * bb * tile * C * jnp.dtype(dt).itemsize \
-            > hist_budget:
+    while (bb % 2 == 0 and (bb // 2) % 8 == 0 and B % (bb // 2) == 0
+           and L * bb * tile * C * jnp.dtype(dt).itemsize > hist_budget):
         bb //= 2
-    while B % bb:
-        bb -= 1
 
     grid = (B // bb, Tp // tile)
     tmap2 = lambda b, i: (b, i)  # noqa: E731
