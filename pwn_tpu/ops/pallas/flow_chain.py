@@ -56,9 +56,11 @@ def _kernel(z_ref, cond_ref, wf_ref, bf_ref, w_in_ref, b_g_ref,
     z = z_ref[...]                       # (bb, tile) f32 base/chain noise
     cond_t = cond_ref[...]               # (bb, tile, M) compute dtype
 
-    # strictly causal shift by one sample (cross-tile via zhist)
-    z_shift = jnp.concatenate([zhist[...], z[:, :-1]], axis=1)
-    zhist[...] = z[:, -1:]
+    # strictly causal shift by one sample (cross-tile via zhist; the
+    # scratch keeps a full 128-lane tail so its shape is (8,128)-tiled —
+    # a (bb, 1) scratch is not a legal Mosaic layout)
+    z_shift = jnp.concatenate([zhist[:, -1:], z[:, :-1]], axis=1)
+    zhist[...] = z[:, -128:]
 
     # front 1x1 on the 1-channel shifted z: a broadcast multiply-add,
     # no MXU needed (w_front is (1, C))
@@ -196,7 +198,7 @@ def fused_flow_step(
         out_shape=jax.ShapeDtypeStruct((B, Tp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((L, bb, tile, C), dt),
-            pltpu.VMEM((bb, 1), jnp.float32),
+            pltpu.VMEM((bb, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Tp * (L * (K_in * G + (G // 2) * (C + S))

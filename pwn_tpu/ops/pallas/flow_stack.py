@@ -439,7 +439,7 @@ def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
         )
         g = (
             jnp.dot(cat2, w_in_ref[li], preferred_element_type=f32)
-            + b_g_ref[li].astype(f32)
+            + b_g_ref[li].astype(f32)  # (1, G) row broadcast
         )
         half = g.shape[-1] // 2
         ta = jnp.tanh(g[:, :half])
@@ -567,7 +567,14 @@ def _flow_stack_train_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
 def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize):
     """Pick (chunk_layers, bb): the largest divisor of L whose fp32
     weight-grad accumulators + weights + activation views + history fit
-    the VMEM budget, with the largest batch block that still fits."""
+    the VMEM budget, with the largest batch block that still fits.
+
+    Override with PWN_TPU_BWD_CHUNK="Lc,bb" (layout experiments: the
+    Mosaic backend crashed on some shallow-stack layouts, r2 session 5)."""
+    forced = os.environ.get("PWN_TPU_BWD_CHUNK")
+    if forced:
+        lc, bb = (int(v) for v in forced.split(","))
+        return lc, bb
     budget = 10 * 1024 * 1024
 
     def vmem(Lc, bb):
@@ -631,7 +638,10 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
             ci,
         )
         wmap = functools.partial(lambda ci_, b, ri: (ci_, 0, 0), ci)
-        bmap = functools.partial(lambda ci_, b, ri: (ci_, 0), ci)
+        # biases ride as (L, 1, G)-shaped arrays so the (Lc, 1, G) block
+        # keeps its last two dims array-equal — a 2-D (Lc, G) block with
+        # Lc < L violates Mosaic's (8, 128) block-tiling rule
+        bmap = functools.partial(lambda ci_, b, ri: (ci_, 0, 0), ci)
 
         outs = pl.pallas_call(
             functools.partial(
@@ -650,7 +660,7 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lc, K_in, G), wmap,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lc, G), bmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, 1, G), bmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lc, G // 2, C + S), wmap,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, tile, C), tmap,
@@ -663,19 +673,20 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lc, K_in, G), full3,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lc, G), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lc, 1, G), full3,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((Lc, G // 2, C + S), full3,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lc, C + S), full2,
+                pl.BlockSpec((Lc, 1, C + S), full3,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, Tp, C), dt),
                 jax.ShapeDtypeStruct((B, Tp, M), dt),
                 jax.ShapeDtypeStruct((Lc, K_in, G), jnp.float32),
-                jax.ShapeDtypeStruct((Lc, G), jnp.float32),
+                jax.ShapeDtypeStruct((Lc, 1, G), jnp.float32),
                 jax.ShapeDtypeStruct((Lc, G // 2, C + S), jnp.float32),
-                jax.ShapeDtypeStruct((Lc, C + S), jnp.float32),
+                jax.ShapeDtypeStruct((Lc, 1, C + S), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((Lc, bb, tile, C), dt)],
             cost_estimate=pl.CostEstimate(
@@ -685,13 +696,13 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
                 transcendentals=B * Tp * Lc * G,
             ),
             interpret=interpret,
-        )(acts, acts, cond, dskip, w_in, b_g32, w_out, dx)
+        )(acts, acts, cond, dskip, w_in, b_g32[:, None, :], w_out, dx)
         dx, dcond_c, dw_in_c, db_g_c, dw_out_c, db_rs_c = outs
         dcond_parts.append(dcond_c.astype(jnp.float32))
         dw_in_parts.insert(0, dw_in_c)
-        db_g_parts.insert(0, db_g_c)
+        db_g_parts.insert(0, db_g_c[:, 0])
         dw_out_parts.insert(0, dw_out_c)
-        db_rs_parts.insert(0, db_rs_c)
+        db_rs_parts.insert(0, db_rs_c[:, 0])
 
     dcond = sum(dcond_parts).astype(dt)
     return (
