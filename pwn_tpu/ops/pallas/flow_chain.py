@@ -18,9 +18,9 @@ grid notes).  The inter-flow z round-trip is a (B, T) float32 array,
 negligible next to the weight traffic.
 
 Causality matches flow_stack: a wavefront over time tiles with per-layer
-one-tile input histories, plus a one-sample z history for the strictly
-causal shift (z'[t] depends on z[<=t]; the shift feeding the stack is
-z[t-1]).  Requires max(dilations) <= tile.
+one-tile input histories.  The strictly causal one-sample shift feeding
+the stack (z'[t] depends on z[<=t] via z[t-1]) is precomputed in XLA and
+passed as a second input stream.  Requires max(dilations) <= tile.
 
 Reference parity: this computes exactly StudentIAF.flows_from_z's loop
 body (models/student.py) — shift_right(z, 1) -> WaveNetStack (front,
@@ -41,26 +41,28 @@ from pwn_tpu.ops.pallas.flow_stack import FLOW_TILE
 from pwn_tpu.ops.pallas.gated_layer import TIME_TILE
 
 
-def _kernel(z_ref, cond_ref, wf_ref, bf_ref, w_in_ref, b_g_ref,
+def _kernel(z_ref, zs_ref, cond_ref, wf_ref, bf_ref, w_in_ref, b_g_ref,
             w_out_ref, b_rs_ref, w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
-            zout_ref, hist, zhist, *, dilations: Sequence[int], C: int,
+            zout_ref, hist, *, dilations: Sequence[int], C: int,
             S: int, tile: int, bb: int, clamp: float, dt):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _reset():
         hist[...] = jnp.zeros_like(hist)
-        zhist[...] = jnp.zeros_like(zhist)
 
     f32 = jnp.float32
     z = z_ref[...]                       # (bb, tile) f32 base/chain noise
     cond_t = cond_ref[...]               # (bb, tile, M) compute dtype
 
-    # strictly causal shift by one sample (cross-tile via zhist; the
-    # scratch keeps a full 128-lane tail so its shape is (8,128)-tiled —
-    # a (bb, 1) scratch is not a legal Mosaic layout)
-    z_shift = jnp.concatenate([zhist[:, -1:], z[:, :-1]], axis=1)
-    zhist[...] = z[:, -128:]
+    # strictly causal one-sample shift, computed OUTSIDE the kernel and
+    # passed as an input: an in-kernel cross-tile stitch needs a
+    # `zhist[:, -1:]` lane slice at offset 127, and Mosaic cannot
+    # concatenate mismatched lane offsets on a non-concat dimension
+    # (the same "offset mismatch" backend crash as the C=64 backward —
+    # r2 session 8).  One extra (B, T) f32 HBM read, negligible next to
+    # the resident weights.
+    z_shift = zs_ref[...]
 
     # front 1x1 on the 1-channel shifted z: a broadcast multiply-add,
     # no MXU needed (w_front is (1, C))
@@ -141,13 +143,15 @@ def fused_flow_step(
     tile = max(FLOW_TILE, TIME_TILE)
     if max(dilations) > tile:
         raise ValueError(f"max dilation {max(dilations)} > tile {tile}")
+    z = z.astype(jnp.float32)
+    z_shift = jnp.pad(z, ((0, 0), (1, 0)))[:, :-1]
     pad = (-T) % tile
     if pad:
         z = jnp.pad(z, ((0, 0), (0, pad)))
+        z_shift = jnp.pad(z_shift, ((0, 0), (0, pad)))
         cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
     Tp = T + pad
     dt = cond.dtype
-    z = z.astype(jnp.float32)
     w_in = w_in.astype(dt)
     w_out = w_out.astype(dt)
     w_front = w_front.astype(dt)
@@ -180,6 +184,7 @@ def fused_flow_step(
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, tile), tmap2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tile), tmap2, memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, tile, M), tmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), full2, memory_space=pltpu.VMEM),
@@ -198,7 +203,6 @@ def fused_flow_step(
         out_shape=jax.ShapeDtypeStruct((B, Tp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((L, bb, tile, C), dt),
-            pltpu.VMEM((bb, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Tp * (L * (K_in * G + (G // 2) * (C + S))
@@ -206,10 +210,16 @@ def fused_flow_step(
             bytes_accessed=B * Tp * (4 + M * jnp.dtype(dt).itemsize + 4),
             transcendentals=B * Tp * (L * G + 1),
         ),
+        # raise the 16 MB scoped-vmem default like flow_stack's backward
+        # (v5e VMEM is 128 MB; the whole-tail live set + double-buffered
+        # streams exceed the default at student sizes — r2 session 9)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(z, cond, w_front, b_front[None], w_in, b_g.astype(jnp.float32),
-      w_out, b_rs.astype(jnp.float32), w_h1, b_h1[None].astype(dt),
-      w_h2, b_h2[None].astype(jnp.float32))
+    )(z, z_shift, cond, w_front, b_front[None], w_in,
+      b_g.astype(jnp.float32), w_out, b_rs.astype(jnp.float32), w_h1,
+      b_h1[None].astype(dt), w_h2, b_h2[None].astype(jnp.float32))
 
     if pad:
         zout = zout[:, :T]

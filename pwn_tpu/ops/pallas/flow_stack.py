@@ -455,17 +455,25 @@ def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
         da = dz * sb * (1.0 - ta * ta)
         db = dz * ta * sb * (1.0 - sb)
         dg = jnp.concatenate([da, db], axis=-1).astype(dt)
-        dcat = jnp.dot(dg, w_in_ref[li].T,
-                       preferred_element_type=f32)
+        # dcat = dg @ w_in.T, split into the three K_in segments as
+        # SEPARATE dots (sublane slices of w_in, offsets multiple of 8).
+        # A single dot + lane slices `dcat[..., C:2C]` produces a
+        # lane-offset-64 value when C == 64, and Mosaic cannot
+        # time-concatenate that against offset-0 zeros: "result/input
+        # offset mismatch on non-concat dimension" (the student-width
+        # HTTP-500, r2 session 8).  Matmul outputs are always offset-0.
+        w_li = w_in_ref[li]
+        dcx = jnp.dot(dg, w_li[:C].T, preferred_element_type=f32)
+        dcs = jnp.dot(dg, w_li[C: 2 * C].T, preferred_element_type=f32)
+        dcc = jnp.dot(dg, w_li[2 * C:].T, preferred_element_type=f32)
 
         dw_out_ref[li] += jnp.dot(z.T, dout, preferred_element_type=f32)
         db_rs_ref[li] += jnp.sum(dout.astype(f32), axis=0)
         dw_in_ref[li] += jnp.dot(cat2.T, dg, preferred_element_type=f32)
         db_g_ref[li] += jnp.sum(dg.astype(f32), axis=0)
 
-        dcat = dcat.reshape(bb, tile, 2 * C + M)
-        dcs = dcat[..., C: 2 * C]   # cotangent into shift(x, d)
-        dcond_acc = dcond_acc + dcat[..., 2 * C:]
+        dcs = dcs.reshape(bb, tile, C)  # cotangent into shift(x, d)
+        dcond_acc = dcond_acc + dcc.reshape(bb, tile, M)
 
         # shift(x,d)[t] = x[t-d]: rows [d, tile) act within this tile;
         # rows [0, d) belong to the earlier tile -> stash in hist
@@ -482,7 +490,7 @@ def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
         from_later = hist[li].astype(f32)  # zeroed at ri==0 by _reset
         hist[li] = stash.astype(dt)
 
-        dx = dx + dcat[..., :C] + within + from_later
+        dx = dx + dcx.reshape(bb, tile, C) + within + from_later
 
     dx_ref[...] = dx.astype(dx_ref.dtype)
     dcond_ref[...] = dcond_acc.astype(dcond_ref.dtype)
@@ -694,6 +702,14 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
                 bytes_accessed=B * Tp * (2 * Lc * C + M + S + 2 * C + M)
                 * dt.itemsize,
                 transcendentals=B * Tp * Lc * G,
+            ),
+            # the default 16 MB scoped-vmem cap rejects student-width
+            # chunks (19.2 MB scoped at L=10: double-buffered act views
+            # + fp32 weight-grad accumulators + the unrolled-loop live
+            # set); v5e VMEM is 128 MB — raise the cap like the public
+            # splash-attention kernel does (r2 session 8)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
         )(acts, acts, cond, dskip, w_in, b_g32[:, None, :], w_out, dx)

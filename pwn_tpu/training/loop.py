@@ -41,6 +41,22 @@ class RunResult:
     steps_run: int
 
 
+def _train_stack_flag(flag: str, mesh) -> str:
+    """Resolve a config `fused_layers` flag for a TRAIN step.
+
+    "auto" -> "mega_train": megakernel forward saving per-layer inputs +
+    fused Pallas backward — measured teacher 18.2 vs 42.6, student direct
+    19.6 vs 70.4, distill 53.4 vs 83.1 ms/step on v5e (r2 sessions 1/9).
+    resolve_stack_mode further drops mega_train -> XLA on CPU, where the
+    Pallas interpreter would crawl.  Explicit flags pass through so "off"
+    still forces pure XLA.  TP (model>1) shards params through GSPMD
+    propagation, which cannot partition pallas_call — keep pure XLA there.
+    """
+    if flag != "auto":
+        return flag
+    return "off" if mesh.shape.get("model", 1) > 1 else "mega_train"
+
+
 def build_dataset(cfg: Config, data_dir: Optional[str], split: str = "train"):
     """Wav-dir corpus if given, else the synthetic corpus (zero-egress env).
 
@@ -230,13 +246,10 @@ def run_teacher_training(
     # Explicit flags pass through so "off" still forces pure XLA.
     from pwn_tpu.config import override as _ov
 
-    train_flag = cfg.teacher.fused_layers
-    if train_flag == "auto":
-        # TP (model>1) shards params through GSPMD propagation, which
-        # cannot partition pallas_call — keep pure XLA there.
-        train_flag = "off" if mesh.shape.get("model", 1) > 1 \
-            else "mega_train"
-    train_cfg_model = _ov(cfg, "teacher.fused_layers", train_flag)
+    train_cfg_model = _ov(
+        cfg, "teacher.fused_layers",
+        _train_stack_flag(cfg.teacher.fused_layers, mesh),
+    )
     model, variables = init_teacher(
         train_cfg_model, jax.random.PRNGKey(cfg.train.seed),
         use_scan=False,
@@ -291,13 +304,14 @@ def run_distillation(
     mesh = make_mesh(cfg.mesh)
     # teacher is scored forward-only inside jax.grad: the megakernel's
     # custom-VJP recompute backward only touches the teacher pathwise
-    # term, so the fast forward wins; the student trains with unrolled
-    # XLA layers (fastest backward)
+    # term, so the fast forward wins; the student trains with the fused
+    # mega_train backward (83.1 -> 53.4 ms/step distill, r2 session 9)
     from pwn_tpu.config import override as _ov
 
     teacher, _ = init_teacher(cfg, jax.random.PRNGKey(0), use_scan=True)
     student, s_vars = init_student(
-        _ov(cfg, "student.fused_layers", "off"),
+        _ov(cfg, "student.fused_layers",
+            _train_stack_flag(cfg.student.fused_layers, mesh)),
         jax.random.PRNGKey(cfg.train.seed + 1), use_scan=False,
     )
     state = create_train_state(
@@ -366,8 +380,11 @@ def run_student_direct_training(
     )
 
     mesh = make_mesh(cfg.mesh)
+    # "auto" -> fused mega_train backward (70.4 -> 19.6 ms/step direct
+    # student training on v5e, r2 session 9)
     student, s_vars = init_student(
-        _ov(cfg, "student.fused_layers", "off"),
+        _ov(cfg, "student.fused_layers",
+            _train_stack_flag(cfg.student.fused_layers, mesh)),
         jax.random.PRNGKey(cfg.train.seed + 1), use_scan=False,
     )
     state = create_train_state(
