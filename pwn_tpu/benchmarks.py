@@ -159,10 +159,19 @@ def measure_distill_train(cfg: Config, n_iters: int = 4) -> Dict[str, Any]:
     from pwn_tpu.models.student import init_student
     from pwn_tpu.training.distill import distillation_losses
 
-    teacher, t_vars = init_teacher(cfg, jax.random.PRNGKey(0),
-                                   use_scan=True)
+    # mirror run_distillation's mode resolution: frozen teacher scored
+    # via mega_dx (dx-only fused backward), student on mega_train
+    # (53.9 -> 30.9 ms/step together, r2 session 12)
+    t_flag = "mega_dx" if cfg.teacher.fused_layers == "auto" \
+        else cfg.teacher.fused_layers
+    s_flag = "mega_train" if cfg.student.fused_layers == "auto" \
+        else cfg.student.fused_layers
+    teacher, t_vars = init_teacher(
+        override(cfg, "teacher.fused_layers", t_flag),
+        jax.random.PRNGKey(0), use_scan=True,
+    )
     student, s_vars = init_student(
-        override(cfg, "student.fused_layers", "off"),
+        override(cfg, "student.fused_layers", s_flag),
         jax.random.PRNGKey(1), use_scan=False,
     )
     tx = make_optimizer(cfg.train)

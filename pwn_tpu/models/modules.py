@@ -142,6 +142,9 @@ def resolve_stack_mode(flag: str) -> str:
       "mega_train"   -> "mega_train" (megakernel forward saving
                         per-layer inputs + fused Pallas backward —
                         the training-step mode)
+      "mega_dx"      -> "mega_dx" (same forward; backward restricted
+                        to input/cond cotangents — the FROZEN-stack
+                        scoring mode, e.g. the distillation teacher)
       "auto"         -> "mega" off-CPU, "xla" on CPU (the interpreter
                         would crawl; CI covers the kernels explicitly)
     """
@@ -149,8 +152,8 @@ def resolve_stack_mode(flag: str) -> str:
         return "layer"
     if flag == "mega":
         return "mega"
-    if flag == "mega_train":
-        return "mega_train" if jax.default_backend() != "cpu" else "xla"
+    if flag in ("mega_train", "mega_dx"):
+        return flag if jax.default_backend() != "cpu" else "xla"
     if flag == "off":
         return "xla"
     return "mega" if jax.default_backend() != "cpu" else "xla"
@@ -194,6 +197,10 @@ class WaveNetStack(nn.Module):
     # a fused Pallas backward (anti-causal wavefront) instead of the
     # XLA-recompute VJP.
     mega_train: bool = False
+    # Frozen-stack scoring variant: mega_train forward, backward
+    # restricted to dx/dcond (no weight-grad dots) — for scoring a
+    # stop-gradient'd stack inside jax.grad (distillation teacher).
+    mega_dx: bool = False
     # lax.scan over stacked layer weights: fastest pure-XLA FORWARD (1.5x
     # over the unrolled graph on v5e), but its backward executes as a
     # second scan that is ~1.6x slower than the unrolled backward — so
@@ -234,11 +241,16 @@ class WaveNetStack(nn.Module):
             jnp.dtype(dt).itemsize,
         )
 
-        if self.mega_train and mega_ok:
-            from pwn_tpu.ops.pallas.flow_stack import fused_flow_stack_train
+        if (self.mega_train or self.mega_dx) and mega_ok:
+            from pwn_tpu.ops.pallas.flow_stack import (
+                fused_flow_stack_score,
+                fused_flow_stack_train,
+            )
 
+            fused_fn = (fused_flow_stack_score if self.mega_dx
+                        else fused_flow_stack_train)
             w_in, b_g, w_out, b_res, b_skip = self._stacked(layer_params)
-            skip_total = fused_flow_stack_train(
+            skip_total = fused_fn(
                 x, cond, w_in, b_g,
                 w_out,
                 jnp.concatenate([b_res, b_skip], axis=1),
@@ -254,7 +266,8 @@ class WaveNetStack(nn.Module):
                 jnp.concatenate([b_res, b_skip], axis=1),
                 dilations=tuple(self.dilations),
             )
-        elif (self.fused or self.mega or self.mega_train) and tile_ok:
+        elif (self.fused or self.mega or self.mega_train
+              or self.mega_dx) and tile_ok:
             skip_total = jnp.zeros(x.shape[:-1] + (S,), dtype=dt)
             for lp, dilation in zip(layer_params, self.dilations):
                 x, skip = pallas_ops.fused_gated_residual(

@@ -82,6 +82,7 @@ class StudentIAF(nn.Module):
                 mega=resolve_stack_mode(sc.fused_layers) == "mega",
                 mega_train=resolve_stack_mode(sc.fused_layers)
                 == "mega_train",
+                mega_dx=resolve_stack_mode(sc.fused_layers) == "mega_dx",
                 use_scan=self.use_scan,
                 name=f"flow_{i}",
             )

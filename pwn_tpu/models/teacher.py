@@ -57,6 +57,7 @@ class TeacherWaveNet(nn.Module):
             fused=resolve_stack_mode(tc.fused_layers) == "layer",
             mega=resolve_stack_mode(tc.fused_layers) == "mega",
             mega_train=resolve_stack_mode(tc.fused_layers) == "mega_train",
+            mega_dx=resolve_stack_mode(tc.fused_layers) == "mega_dx",
             use_scan=self.use_scan,
             name="stack",
         )

@@ -380,10 +380,10 @@ def _fwd_save_kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref,
 
 def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
                       w_in_ref, b_g_ref, w_out_ref, dx_top_ref,
-                      dx_ref, dcond_ref, dw_in_ref, db_g_ref, dw_out_ref,
-                      db_rs_ref, hist, *, dilations: Sequence[int],
+                      dx_ref, dcond_ref, *rest,
+                      dilations: Sequence[int],
                       C: int, S: int, M: int, tile: int, bb: int,
-                      n_tiles: int):
+                      n_tiles: int, want_wgrads: bool = True):
     """One (batch-block, reversed-time-tile) grid cell for a CHUNK of
     layers [l0, l1).  `dilations` holds the chunk's per-layer dilations
     (static).  Per cell, layers run reversed with the dx chain carried in
@@ -397,6 +397,12 @@ def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
     `hist[l]` carries the first-d-rows cotangent to the earlier tile
     (anti-causal mirror of the forward wavefront history).
     """
+    if want_wgrads:
+        dw_in_ref, db_g_ref, dw_out_ref, db_rs_ref, hist = rest
+    else:
+        # frozen-stack scoring (distillation teacher): only the
+        # input/cond cotangents are produced
+        (hist,) = rest
     ri = pl.program_id(1)   # reversed tile index: tile = nT-1-ri
     f32 = jnp.float32
     Lc = len(dilations)
@@ -405,12 +411,13 @@ def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
     def _reset():
         hist[...] = jnp.zeros_like(hist)
 
-    @pl.when((pl.program_id(0) == 0) & (ri == 0))
-    def _init_weight_grads():
-        dw_in_ref[...] = jnp.zeros_like(dw_in_ref)
-        db_g_ref[...] = jnp.zeros_like(db_g_ref)
-        dw_out_ref[...] = jnp.zeros_like(dw_out_ref)
-        db_rs_ref[...] = jnp.zeros_like(db_rs_ref)
+    if want_wgrads:
+        @pl.when((pl.program_id(0) == 0) & (ri == 0))
+        def _init_weight_grads():
+            dw_in_ref[...] = jnp.zeros_like(dw_in_ref)
+            db_g_ref[...] = jnp.zeros_like(db_g_ref)
+            dw_out_ref[...] = jnp.zeros_like(dw_out_ref)
+            db_rs_ref[...] = jnp.zeros_like(db_rs_ref)
 
     dt = acts_ref.dtype
     # the chronologically-first tile has zero causal history; the prev
@@ -444,7 +451,6 @@ def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
         half = g.shape[-1] // 2
         ta = jnp.tanh(g[:, :half])
         sb = jax.nn.sigmoid(g[:, half:])
-        z = (ta * sb).astype(dt)
 
         # ---- cotangent chain ----
         dout = jnp.concatenate(
@@ -467,10 +473,14 @@ def _bwd_chunk_kernel(acts_ref, acts_prev_ref, cond_ref, dskip_ref,
         dcs = jnp.dot(dg, w_li[C: 2 * C].T, preferred_element_type=f32)
         dcc = jnp.dot(dg, w_li[2 * C:].T, preferred_element_type=f32)
 
-        dw_out_ref[li] += jnp.dot(z.T, dout, preferred_element_type=f32)
-        db_rs_ref[li] += jnp.sum(dout.astype(f32), axis=0)
-        dw_in_ref[li] += jnp.dot(cat2.T, dg, preferred_element_type=f32)
-        db_g_ref[li] += jnp.sum(dg.astype(f32), axis=0)
+        if want_wgrads:
+            z = (ta * sb).astype(dt)
+            dw_out_ref[li] += jnp.dot(z.T, dout,
+                                      preferred_element_type=f32)
+            db_rs_ref[li] += jnp.sum(dout.astype(f32), axis=0)
+            dw_in_ref[li] += jnp.dot(cat2.T, dg,
+                                     preferred_element_type=f32)
+            db_g_ref[li] += jnp.sum(dg.astype(f32), axis=0)
 
         dcs = dcs.reshape(bb, tile, C)  # cotangent into shift(x, d)
         dcond_acc = dcond_acc + dcc.reshape(bb, tile, M)
@@ -572,7 +582,8 @@ def _flow_stack_train_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
     return skip, acts, 0
 
 
-def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize):
+def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize,
+                      want_wgrads=True):
     """Pick (chunk_layers, bb): the largest divisor of L whose fp32
     weight-grad accumulators + weights + activation views + history fit
     the VMEM budget, with the largest batch block that still fits.
@@ -586,7 +597,8 @@ def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize):
     budget = 10 * 1024 * 1024
 
     def vmem(Lc, bb):
-        dw = Lc * (K_in * G + (G // 2) * (C + S) + G + C + S) * 4
+        dw = Lc * (K_in * G + (G // 2) * (C + S) + G + C + S) * 4 \
+            if want_wgrads else 0
         w = Lc * (K_in * G + (G // 2) * (C + S)) * itemsize
         act = 3 * Lc * bb * tile * C * itemsize  # 2 views + hist
         io = bb * tile * (2 * C + 2 * M + S) * 4
@@ -605,8 +617,13 @@ def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize):
 
 
 def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
-                               b_g, w_out, dskip):
-    """Pallas backward: layer-chunked anti-causal wavefront (see header)."""
+                               b_g, w_out, dskip, want_wgrads=True):
+    """Pallas backward: layer-chunked anti-causal wavefront (see header).
+
+    want_wgrads=False is the frozen-stack scoring mode (the distillation
+    teacher): only dx/dcond are produced — the dw_out/dw_in accumulation
+    dots (~40% of backward MXU work) and their fp32 VMEM accumulators are
+    skipped entirely."""
     L, B, Tp, C = acts.shape
     M = cond.shape[-1]
     K_in, G = w_in.shape[1], w_in.shape[2]
@@ -620,7 +637,8 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
     w_out = w_out.astype(dt)
     b_g32 = b_g.astype(jnp.float32)
 
-    Lc, bb = _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, dt.itemsize)
+    Lc, bb = _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, dt.itemsize,
+                               want_wgrads)
     n_chunks = L // Lc
 
     grid = (B // bb, n_tiles)
@@ -651,10 +669,24 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
         # Lc < L violates Mosaic's (8, 128) block-tiling rule
         bmap = functools.partial(lambda ci_, b, ri: (ci_, 0, 0), ci)
 
+        wg_specs = [
+            pl.BlockSpec((Lc, K_in, G), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, 1, G), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, G // 2, C + S), full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lc, 1, C + S), full3, memory_space=pltpu.VMEM),
+        ] if want_wgrads else []
+        wg_shapes = [
+            jax.ShapeDtypeStruct((Lc, K_in, G), jnp.float32),
+            jax.ShapeDtypeStruct((Lc, 1, G), jnp.float32),
+            jax.ShapeDtypeStruct((Lc, G // 2, C + S), jnp.float32),
+            jax.ShapeDtypeStruct((Lc, 1, C + S), jnp.float32),
+        ] if want_wgrads else []
         outs = pl.pallas_call(
             functools.partial(
                 _bwd_chunk_kernel, dilations=tuple(dilations[l0:l1]),
                 C=C, S=S, M=M, tile=tile, bb=bb, n_tiles=n_tiles,
+                want_wgrads=want_wgrads,
             ),
             grid=grid,
             in_specs=[
@@ -679,26 +711,15 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, tile, M), tmap,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lc, K_in, G), full3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lc, 1, G), full3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lc, G // 2, C + S), full3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lc, 1, C + S), full3,
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + wg_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((B, Tp, C), dt),
                 jax.ShapeDtypeStruct((B, Tp, M), dt),
-                jax.ShapeDtypeStruct((Lc, K_in, G), jnp.float32),
-                jax.ShapeDtypeStruct((Lc, 1, G), jnp.float32),
-                jax.ShapeDtypeStruct((Lc, G // 2, C + S), jnp.float32),
-                jax.ShapeDtypeStruct((Lc, 1, C + S), jnp.float32),
-            ],
+            ] + wg_shapes,
             scratch_shapes=[pltpu.VMEM((Lc, bb, tile, C), dt)],
             cost_estimate=pl.CostEstimate(
-                flops=4 * B * Tp * Lc * (K_in * G + (G // 2) * (C + S)),
+                flops=(4 if want_wgrads else 3) * B * Tp * Lc
+                * (K_in * G + (G // 2) * (C + S)),
                 bytes_accessed=B * Tp * (2 * Lc * C + M + S + 2 * C + M)
                 * dt.itemsize,
                 transcendentals=B * Tp * Lc * G,
@@ -713,14 +734,19 @@ def _flow_stack_train_bwd_impl(dilations, interpret, acts, cond, w_in,
             ),
             interpret=interpret,
         )(acts, acts, cond, dskip, w_in, b_g32[:, None, :], w_out, dx)
-        dx, dcond_c, dw_in_c, db_g_c, dw_out_c, db_rs_c = outs
+        if want_wgrads:
+            dx, dcond_c, dw_in_c, db_g_c, dw_out_c, db_rs_c = outs
+            dw_in_parts.insert(0, dw_in_c)
+            db_g_parts.insert(0, db_g_c[:, 0])
+            dw_out_parts.insert(0, dw_out_c)
+            db_rs_parts.insert(0, db_rs_c[:, 0])
+        else:
+            dx, dcond_c = outs
         dcond_parts.append(dcond_c.astype(jnp.float32))
-        dw_in_parts.insert(0, dw_in_c)
-        db_g_parts.insert(0, db_g_c[:, 0])
-        dw_out_parts.insert(0, dw_out_c)
-        db_rs_parts.insert(0, db_rs_c[:, 0])
 
     dcond = sum(dcond_parts).astype(dt)
+    if not want_wgrads:
+        return dx, dcond
     return (
         dx,
         dcond,
@@ -763,6 +789,66 @@ def _train_bwd(dilations, interpret, res, dskip):
 
 
 _flow_stack_train.defvjp(_train_fwd, _train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flow_stack_score(dilations, interpret, x0, cond, w_in, b_g, w_out,
+                      b_rs):
+    skip, _, _ = _flow_stack_train_fwd_impl(
+        dilations, interpret, x0, cond, w_in, b_g, w_out, b_rs
+    )
+    return skip
+
+
+def _score_fwd(dilations, interpret, x0, cond, w_in, b_g, w_out, b_rs):
+    skip, acts, pad = _flow_stack_train_fwd_impl(
+        dilations, interpret, x0, cond, w_in, b_g, w_out, b_rs
+    )
+    return skip, (acts, cond, w_in, b_g, w_out, b_rs, pad, x0.shape[1])
+
+
+def _score_bwd(dilations, interpret, res, dskip):
+    acts, cond, w_in, b_g, w_out, b_rs, pad, T = res
+    if pad:
+        dskip = jnp.pad(dskip, ((0, 0), (0, pad), (0, 0)))
+        cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
+    dx, dcond = _flow_stack_train_bwd_impl(
+        dilations, interpret, acts, cond, w_in, b_g, w_out, dskip,
+        want_wgrads=False,
+    )
+    if pad:
+        dx = dx[:, :T]
+        dcond = dcond[:, :T]
+    # the stack is frozen in scoring mode (teacher under stop_gradient):
+    # weight cotangents are symbolic zeros, DCE'd downstream
+    return (dx, dcond, jnp.zeros_like(w_in), jnp.zeros_like(b_g),
+            jnp.zeros_like(w_out), jnp.zeros_like(b_rs))
+
+
+_flow_stack_score.defvjp(_score_fwd, _score_bwd)
+
+
+def fused_flow_stack_score(
+    x0: jax.Array,
+    cond: jax.Array,
+    w_in: jax.Array,
+    b_g: jax.Array,
+    w_out: jax.Array,
+    b_rs: jax.Array,
+    *,
+    dilations: Tuple[int, ...],
+    interpret: bool | None = None,
+) -> jax.Array:
+    """FROZEN-stack forward for probability scoring inside a grad (the
+    distillation teacher): same semantics as `fused_flow_stack`, but the
+    VJP is the fused Pallas backward restricted to dx/dcond — the
+    weight-gradient dots and accumulators are skipped (the params sit
+    under stop_gradient, so their cotangents are zeros)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _flow_stack_score(
+        tuple(dilations), interpret, x0, cond, w_in, b_g, w_out, b_rs
+    )
 
 
 def fused_flow_stack_train(

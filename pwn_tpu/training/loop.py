@@ -302,13 +302,20 @@ def run_distillation(
     num_steps: Optional[int] = None,
 ) -> RunResult:
     mesh = make_mesh(cfg.mesh)
-    # teacher is scored forward-only inside jax.grad: the megakernel's
-    # custom-VJP recompute backward only touches the teacher pathwise
-    # term, so the fast forward wins; the student trains with the fused
-    # mega_train backward (83.1 -> 53.4 ms/step distill, r2 session 9)
+    # the frozen teacher is scored pathwise inside jax.grad: only its
+    # INPUT gradient is needed, so "auto" -> mega_dx (train-forward +
+    # dx/dcond-only fused Pallas backward; the XLA-recompute VJP was the
+    # distill bottleneck: 53.9 -> 30.9 ms/step, r2 session 12); the
+    # student trains with the full fused mega_train backward
     from pwn_tpu.config import override as _ov
 
-    teacher, _ = init_teacher(cfg, jax.random.PRNGKey(0), use_scan=True)
+    t_flag = cfg.teacher.fused_layers
+    if t_flag == "auto" and mesh.shape.get("model", 1) == 1:
+        t_flag = "mega_dx"
+    teacher, _ = init_teacher(
+        _ov(cfg, "teacher.fused_layers", t_flag),
+        jax.random.PRNGKey(0), use_scan=True,
+    )
     student, s_vars = init_student(
         _ov(cfg, "student.fused_layers",
             _train_stack_flag(cfg.student.fused_layers, mesh)),

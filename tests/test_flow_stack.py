@@ -177,6 +177,44 @@ def test_train_kernel_vjp_chunked(rng, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("dils,T,B", [
+    ((1, 2, 4, 8), 1536, 2),
+    (tuple(2 ** i for i in range(10)), 2048, 2),  # teacher/student-shaped
+])
+def test_score_kernel_dx_matches_xla(rng, dils, T, B):
+    """fused_flow_stack_score (frozen-stack dx/dcond-only backward, the
+    distillation-teacher scoring mode) must reproduce the XLA VJP for
+    x0 and cond, and return zeros for the frozen weights."""
+    import functools
+
+    from pwn_tpu.ops.pallas.flow_stack import (
+        _reference_xla_unrolled,
+        fused_flow_stack_score,
+    )
+
+    args, _ = _setup(rng, B=B, T=T, dilations=dils)
+    order = ["x0", "cond", "w_in", "b_g", "w_out", "b_rs"]
+    vals = [args[k] for k in order]
+    ref_fn = functools.partial(_reference_xla_unrolled, dilations=dils)
+    new_fn = lambda *a: fused_flow_stack_score(  # noqa: E731
+        *a, dilations=dils, interpret=True
+    )
+    ct = _mk(rng, B, T, args["w_out"].shape[-1] - args["x0"].shape[-1],
+             scale=1.0)
+    out_r, vjp_r = jax.vjp(ref_fn, *vals)
+    out_n, vjp_n = jax.vjp(new_fn, *vals)
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-5)
+    grads_r, grads_n = vjp_r(ct), vjp_n(ct)
+    for name, g_r, g_n in zip(order[:2], grads_r[:2], grads_n[:2]):
+        np.testing.assert_allclose(
+            np.asarray(g_n), np.asarray(g_r), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch for {name} (score mode)",
+        )
+    for name, g_n in zip(order[2:], grads_n[2:]):
+        assert not np.asarray(g_n).any(), f"nonzero frozen grad {name}"
+
+
 def test_mega_train_mode_resolution():
     """mega_train resolves to the train kernel off-CPU and to XLA on CPU
     (interpret-mode training would crawl)."""
