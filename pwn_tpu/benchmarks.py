@@ -219,6 +219,66 @@ def measure_distill_train(cfg: Config, n_iters: int = 4) -> Dict[str, Any]:
     }
 
 
+def measure_student_direct_train(cfg: Config,
+                                 n_iters: int = 4) -> Dict[str, Any]:
+    """Direct (teacher-free) student training throughput — the
+    reference's WIP mode (SURVEY.md §2a low-confidence flag): IAF
+    closed-form NLL + power loss, student on the mega_train fused
+    backward (70.4 -> 19.6 ms/step on v5e, r2 session 9)."""
+    from pwn_tpu.config import override
+    from pwn_tpu.models.student import init_student
+    from pwn_tpu.training.student_direct import direct_student_losses
+
+    s_flag = "mega_train" if cfg.student.fused_layers == "auto" \
+        else cfg.student.fused_layers
+    student, s_vars = init_student(
+        override(cfg, "student.fused_layers", s_flag),
+        jax.random.PRNGKey(1), use_scan=False,
+    )
+    tx = make_optimizer(cfg.train)
+    params = s_vars["params"]
+    opt_state = tx.init(params)
+    B = cfg.train.global_batch_size
+    ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
+    wav = jnp.asarray(next(make_train_iterator(ds, cfg, B, seed=0)))
+    rtt = measure_round_trip_ms()
+
+    @jax.jit
+    def chain(params, opt_state, wav, key):
+        x_ref, mel = prepare_batch(wav, cfg)
+
+        def body(i, carry):
+            params, opt_state, acc = carry
+
+            def loss_fn(p):
+                loss, _ = direct_student_losses(
+                    student, p, x_ref, mel,
+                    jax.random.fold_in(key, i), cfg,
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            params = jax.tree.map(lambda a, u: a + u, params, updates)
+            return params, opt_state, acc + loss
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n_iters, body, (params, opt_state, jnp.float32(0))
+        )
+        return acc
+
+    dt = _time_chain(
+        lambda: chain(params, opt_state, wav, jax.random.PRNGKey(2)),
+        n_iters, rtt_ms=rtt,
+    )
+    return {
+        "student_direct_utt_per_s": B / dt,
+        "step_ms": dt * 1e3,
+        "batch": B,
+        "crop_samples": cfg.train.crop_samples,
+    }
+
+
 def measure_teacher_ar_sampling(
     cfg: Config, batch: int = 8, seconds: float = 0.25
 ) -> Dict[str, Any]:
@@ -386,6 +446,9 @@ def run_bench(case: str = "student_iaf", overrides=None,
             get_config("teacher_lj")
         )
         detail["distill_train"] = measure_distill_train(
+            get_config("student_iaf")
+        )
+        detail["student_direct_train"] = measure_student_direct_train(
             get_config("student_iaf")
         )
         detail["teacher_ar"] = measure_teacher_ar_sampling(

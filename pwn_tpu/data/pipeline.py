@@ -35,7 +35,39 @@ from pwn_tpu.config import Config
 from pwn_tpu.utils.audio_io import read_wav
 
 
-class SyntheticTones:
+class _CachedSynthCorpus:
+    """Byte-capped LRU clip cache shared by the synthetic corpora.
+
+    Clip i is a pure function of (seed, i), but synthesizing it is host
+    work on the training hot path — SyntheticSpeech's cascaded formant
+    filters cost ~12 ms/clip, which at batch 8 made the REAL train-step
+    wall ~112 ms against an 18 ms device step (measured during the r2
+    speech demo: the loop was host-data-bound).  Same cap/eviction policy
+    as WavCropDataset (PWN_TPU_CACHE_BYTES, default 4 GiB)."""
+
+    def _cache_init(self):
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_size = 0
+        self.cache_bytes = int(
+            os.environ.get("PWN_TPU_CACHE_BYTES", str(4 << 30))
+        )
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        hit = self._cache.get(i)
+        if hit is not None:
+            self._cache.move_to_end(i)
+            return hit
+        wav = self._synth(i)
+        if wav.nbytes <= self.cache_bytes:
+            self._cache[i] = wav
+            self._cache_size += wav.nbytes
+            while self._cache_size > self.cache_bytes:
+                _, old = self._cache.popitem(last=False)
+                self._cache_size -= old.nbytes
+        return wav
+
+
+class SyntheticTones(_CachedSynthCorpus):
     """Deterministic corpus of random harmonic clips (tests/bench: no
     LJSpeech download in this environment — zero egress)."""
 
@@ -45,11 +77,12 @@ class SyntheticTones:
         self.n_samples = n_samples
         self.sample_rate = sample_rate
         self.seed = seed
+        self._cache_init()
 
     def __len__(self) -> int:
         return self.n_clips
 
-    def __getitem__(self, i: int) -> np.ndarray:
+    def _synth(self, i: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100003 + i)
         t = np.arange(self.n_samples) / self.sample_rate
         wav = np.zeros_like(t, dtype=np.float32)
@@ -82,7 +115,7 @@ def corpus_split(wav_dir: str, val_every: int = 20):
     return train, val
 
 
-class SyntheticSpeech:
+class SyntheticSpeech(_CachedSynthCorpus):
     """Speech-like deterministic corpus (no real data in this zero-egress
     env — VERDICT r1 missing item 4): each clip is a random sequence of
     phone-like segments that stress what harmonic tones cannot —
@@ -103,6 +136,7 @@ class SyntheticSpeech:
         self.n_samples = n_samples
         self.sample_rate = sample_rate
         self.seed = seed
+        self._cache_init()
 
     def __len__(self) -> int:
         return self.n_clips
@@ -167,7 +201,7 @@ class SyntheticSpeech:
         )
         return out
 
-    def __getitem__(self, i: int) -> np.ndarray:
+    def _synth(self, i: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100003 + i + 1_000_003)
         sr = self.sample_rate
         n = self.n_samples
