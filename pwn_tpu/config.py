@@ -131,6 +131,16 @@ class DistillConfig:
     # IAF likelihood term (training/student_direct.py; the reference's
     # WIP mode, SURVEY.md §2a low-confidence flag)
     ml_weight: float = 1.0
+    # extra STFT magnitude-loss resolutions as (n_fft, hop, win) triples
+    # averaged with the primary cfg.dsp resolution (multi-resolution
+    # spectral loss, the standard vocoder lever for unvoiced/transient
+    # fidelity; () keeps the single-resolution Parallel-WaveNet power
+    # loss and the round-1/2 goldens bit-exact)
+    power_loss_resolutions: tuple = ()
+    # linearly ramp kl_weight over the first N steps (0 = constant):
+    # lets the power loss anchor the student before reverse-KL mode-
+    # seeking kicks in (whisper-collapse mitigation, SURVEY.md §7)
+    kl_warmup_steps: int = 0
 
 
 @dataclass(frozen=True)
@@ -329,7 +339,15 @@ def _coerce(obj: Any, name: str, value: Any) -> Any:
     if isinstance(current, float):
         return float(value)
     if isinstance(current, tuple):
-        return tuple(int(v) for v in value.strip("()").split(","))
+        try:
+            return tuple(int(v) for v in value.strip("()").split(","))
+        except ValueError:
+            # nested tuples, e.g. distill.power_loss_resolutions=
+            # "((512,128,512),(2048,512,2048))"
+            import ast
+
+            parsed = ast.literal_eval(value)
+            return tuple(tuple(r) for r in parsed)
     return value
 
 

@@ -40,6 +40,37 @@ from pwn_tpu.training.teacher import prepare_batch
 from pwn_tpu.utils import dsp
 
 
+def spectral_power_loss(x_s: jax.Array, x_ref: jax.Array,
+                        cfg: Config) -> jax.Array:
+    """Mean squared STFT-magnitude error, averaged over the primary
+    cfg.dsp resolution plus any `distill.power_loss_resolutions` extras
+    (multi-resolution spectral loss — single-resolution by default,
+    matching Parallel WaveNet's power loss [PW] and the frozen goldens)."""
+    resolutions = ((cfg.dsp.n_fft, cfg.dsp.hop_length,
+                    cfg.dsp.win_length),) + tuple(
+        tuple(r) for r in cfg.distill.power_loss_resolutions
+    )
+    total = jnp.float32(0)
+    for n_fft, hop, win in resolutions:
+        mag_s = dsp.stft_magnitude(x_s, n_fft, hop, win)
+        mag_r = dsp.stft_magnitude(x_ref, n_fft, hop, win)
+        total = total + jnp.mean(jnp.square(mag_s - mag_r))
+    return total / len(resolutions)
+
+
+def kl_weight_at(cfg: Config, step) -> jax.Array:
+    """Effective KL weight: linear ramp over `distill.kl_warmup_steps`
+    (constant when warmup is 0 or step is None — eval always scores at
+    full weight)."""
+    dc = cfg.distill
+    if step is None or dc.kl_warmup_steps <= 0:
+        return jnp.float32(dc.kl_weight)
+    ramp = jnp.minimum(
+        (jnp.asarray(step, jnp.float32) + 1.0) / dc.kl_warmup_steps, 1.0
+    )
+    return dc.kl_weight * ramp
+
+
 def distillation_losses(
     student: StudentIAF,
     teacher: TeacherWaveNet,
@@ -49,6 +80,7 @@ def distillation_losses(
     mel: jax.Array,
     key: jax.Array,
     cfg: Config,
+    step=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Total distillation loss + metrics for one batch (model domain)."""
     teacher_params = jax.lax.stop_gradient(teacher_params)
@@ -64,13 +96,7 @@ def distillation_losses(
         )  # (B, T)
         log_p_s = out.log_p_student  # (B, T)
         kl = jnp.mean(log_p_s - log_p_t)  # nats / sample-step
-        mag_s = dsp.stft_magnitude(
-            x_s, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win_length
-        )
-        mag_r = dsp.stft_magnitude(
-            x_ref, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win_length
-        )
-        power = jnp.mean(jnp.square(mag_s - mag_r))
+        power = spectral_power_loss(x_s, x_ref, cfg)
         return kl, power, jnp.mean(-log_p_s), jnp.mean(-log_p_t)
 
     # static python loop over the (small) sample count — a vmap here
@@ -81,7 +107,7 @@ def distillation_losses(
     kl, power, ent, xent = (
         sum(t[i] for t in acc) / dc.n_kl_samples for i in range(4)
     )
-    total = dc.kl_weight * kl + dc.power_loss_weight * power
+    total = kl_weight_at(cfg, step) * kl + dc.power_loss_weight * power
     metrics = {
         "loss": total,
         "kl": kl,
@@ -112,7 +138,7 @@ def make_distill_train_step(
         def loss_fn(p):
             return distillation_losses(
                 student, teacher, p, teacher_params, x_ref, mel, step_key,
-                cfg,
+                cfg, step=state.step,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -136,13 +162,14 @@ def make_distill_train_step(
     # (step, shard).
     rep = replicated(mesh)
 
-    def dp_grads(params, teacher_params, wav, step_key):
+    def dp_grads(params, teacher_params, wav, step_key, step):
         x_ref, mel = prepare_batch(wav, cfg)
         key = jax.random.fold_in(step_key, jax.lax.axis_index("data"))
 
         def loss_fn(p):
             return distillation_losses(
-                student, teacher, p, teacher_params, x_ref, mel, key, cfg
+                student, teacher, p, teacher_params, x_ref, mel, key, cfg,
+                step=step,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -152,14 +179,14 @@ def make_distill_train_step(
 
     sharded_grads = jax.shard_map(
         dp_grads, mesh=mesh,
-        in_specs=(P(), P(), P("data"), P()), out_specs=P(),
+        in_specs=(P(), P(), P("data"), P(), P()), out_specs=P(),
         check_vma=False,
     )
 
     def dp_train_step(state: TrainState, teacher_params, wav):
         step_key = jax.random.fold_in(state.rng, state.step)
         metrics, grads = sharded_grads(
-            state.params, teacher_params, wav, step_key
+            state.params, teacher_params, wav, step_key, state.step
         )
         metrics["grad_norm"] = global_norm(grads)
         state = state.apply_gradients(grads=grads)

@@ -34,8 +34,8 @@ from pwn_tpu.models.student import StudentIAF
 from pwn_tpu.ops import mol
 from pwn_tpu.parallel.mesh import batch_sharding, replicated
 from pwn_tpu.training.common import TrainState, global_norm
+from pwn_tpu.training.distill import spectral_power_loss
 from pwn_tpu.training.teacher import prepare_batch
-from pwn_tpu.utils import dsp
 
 
 def direct_student_losses(
@@ -55,13 +55,7 @@ def direct_student_losses(
         # closed-form output conditional Logistic(mu_total, exp(log_det))
         log_p = mol.logistic_log_density(x_ref, out.mu_total, out.log_det)
         ml = -jnp.mean(log_p)
-        mag_s = dsp.stft_magnitude(
-            out.wav, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win_length
-        )
-        mag_r = dsp.stft_magnitude(
-            x_ref, cfg.dsp.n_fft, cfg.dsp.hop_length, cfg.dsp.win_length
-        )
-        power = jnp.mean(jnp.square(mag_s - mag_r))
+        power = spectral_power_loss(out.wav, x_ref, cfg)
         return ml, power
 
     keys = jax.random.split(key, dc.n_kl_samples)

@@ -60,6 +60,69 @@ def test_distill_train_step_descends(rng):
     assert min(losses[4:]) < losses[0]
 
 
+def test_multires_power_loss_and_kl_warmup(rng):
+    """Multi-resolution STFT power loss + KL-weight warmup (quality
+    levers for the speech-like corpus; config-gated, default-off).
+
+    - spectral_power_loss over extra resolutions is finite, positive,
+      and equals the mean of the per-resolution single losses;
+    - kl_weight_at ramps linearly then saturates;
+    - a distill train step under both options still descends."""
+    from pwn_tpu.training.distill import (
+        kl_weight_at,
+        make_distill_train_step,
+        spectral_power_loss,
+    )
+
+    cfg = override(
+        CFG, "distill.power_loss_resolutions",
+        ((256, 64, 256), (1024, 256, 1024)),
+    )
+    cfg = override(cfg, "distill.kl_warmup_steps", 4)
+
+    x = _batch(rng)
+    y = jnp.roll(x, 17, axis=-1)
+    multi = float(spectral_power_loss(x, y, cfg))
+    singles = []
+    for nf, hop, win in ((cfg.dsp.n_fft, cfg.dsp.hop_length,
+                          cfg.dsp.win_length),
+                         (256, 64, 256), (1024, 256, 1024)):
+        c1 = override(override(override(
+            CFG, "dsp.n_fft", nf), "dsp.hop_length", hop),
+            "dsp.win_length", win)
+        singles.append(float(spectral_power_loss(x, y, c1)))
+    assert multi > 0 and np.isfinite(multi)
+    np.testing.assert_allclose(multi, np.mean(singles), rtol=1e-5)
+
+    w = [float(kl_weight_at(cfg, s)) for s in range(6)]
+    np.testing.assert_allclose(w, [0.25, 0.5, 0.75, 1.0, 1.0, 1.0],
+                               rtol=1e-6)
+    assert float(kl_weight_at(cfg, None)) == cfg.distill.kl_weight
+
+    teacher, t_vars = init_teacher(cfg, jax.random.PRNGKey(0))
+    student, s_vars = init_student(cfg, jax.random.PRNGKey(1))
+    state = create_train_state(
+        s_vars["params"], cfg.train, rng=jax.random.PRNGKey(2)
+    )
+    step = make_distill_train_step(student, teacher, cfg)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, t_vars["params"], x)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert min(losses[3:]) < losses[1]
+
+
+def test_nested_tuple_override_coercion():
+    """CLI string form of power_loss_resolutions parses to nested
+    tuples (config.py::_coerce literal_eval fallback)."""
+    cfg = override(CFG, "distill.power_loss_resolutions",
+                   "((512,128,512),(2048,512,2048))")
+    assert cfg.distill.power_loss_resolutions == (
+        (512, 128, 512), (2048, 512, 2048)
+    )
+
+
 def test_distill_teacher_params_frozen(rng):
     """Gradients must not flow into the teacher."""
     teacher, t_vars = init_teacher(CFG, jax.random.PRNGKey(0))
