@@ -21,6 +21,7 @@ import argparse
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -92,6 +93,11 @@ def main(argv=None) -> int:
                        help="teacher AR sampler implementation (auto: "
                             "the fused Pallas kernel on TPU — measured "
                             "4-6x over the scan path — scan on CPU)")
+    p_gen.add_argument("--chunk-frames", type=int, default=0,
+                       help="student streaming mode: synthesize in "
+                            "chunks of this many mel frames with "
+                            "receptive-field overlap recompute (bounded "
+                            "memory; 0 = single whole-utterance call)")
     p_gen.add_argument("overrides", nargs="*")
 
     p_eval = sub.add_parser(
@@ -198,8 +204,29 @@ def main(argv=None) -> int:
             )
             state, _ = mngr.restore(state)
             mngr.close()
-            out = generate_student(cfg, state.params, mel, key,
-                                   args.temperature)
+            if args.chunk_frames:
+                # streaming synthesis: chunks arrive incrementally (a
+                # server would ship them as they come, carrying the
+                # 1-pole deemphasis state; here we assemble one wav)
+                from pwn_tpu.generate import stream_student_chunks
+                from pwn_tpu.utils import dsp as _dsp
+
+                F = mel.shape[1]
+                Fp = F - F % args.chunk_frames  # drop the ragged tail
+                chunks = list(stream_student_chunks(
+                    cfg, state.params, mel[:, :Fp], key=key,
+                    chunk_frames=args.chunk_frames,
+                    temperature=args.temperature,
+                ))
+                wav_cat = jnp.asarray(
+                    np.concatenate(chunks, axis=1)
+                )
+                out = np.asarray(
+                    _dsp.deemphasis(wav_cat, cfg.dsp.preemphasis)[0]
+                )
+            else:
+                out = generate_student(cfg, state.params, mel, key,
+                                       args.temperature)
         write_wav(args.output, out, sr)
         print(f"wrote {args.output}: {len(out)/sr:.2f}s @ {sr} Hz")
         return 0

@@ -91,6 +91,104 @@ def student_chain_generate(
     )
 
 
+def stream_student_chunks(
+    cfg: Config,
+    student_params: Any,
+    mel,
+    key: jax.Array | None = None,
+    z=None,
+    chunk_frames: int = 64,
+    temperature: float = 1.0,
+):
+    """Streaming student synthesis: yield waveform chunks of
+    `chunk_frames * hop` samples whose concatenation equals the
+    whole-call generate (serving: bounded memory, playback can start
+    before the utterance finishes; the reference had no streaming at
+    all — single-session full-graph generate [R] SURVEY.md §3.2).
+
+    Exactness comes from the causal stack's finite receptive field: each
+    chunk is recomputed with an `R = n_flows * (Σ dilations + 1)` sample
+    prefix plus the upsampler's frame halo — the same overlap-recompute
+    geometry as `parallel/sp.py::make_sp_generate_mega`, run sequentially
+    instead of across devices.  One static window shape → one compile.
+
+    z: optional pre-drawn (B, F*hop) base noise — streaming output then
+    matches `generate_from_z` on the same z bit-for-bit per sample.
+    Without it, noise is drawn per chunk_frames block from `key` (a
+    random-access stream: overlapping windows reuse identical values),
+    which is an equally valid logistic draw but a DIFFERENT stream than
+    the single-call `generate`.
+
+    Yields (B, chunk_frames * hop) float32 numpy chunks.
+    """
+    from pwn_tpu.ops import mol
+    from pwn_tpu.parallel.sp import _sp_mega_geometry
+
+    model = make_student(cfg)
+    hop = cfg.dsp.hop_length
+    R, H = _sp_mega_geometry(cfg)
+    B, F = mel.shape[0], mel.shape[1]
+    CT = chunk_frames * hop
+    # chunks smaller than R are legal (sequential recompute), just
+    # increasingly wasteful: overhead per chunk is R/CT
+    WT = CT + R
+    WF = WT // hop + 2 * H
+    if F % chunk_frames:
+        raise ValueError(
+            f"frames {F} not divisible by chunk_frames {chunk_frames}"
+        )
+    if F < WF:
+        raise ValueError(
+            f"utterance of {F} frames is shorter than one streaming "
+            f"window ({WF}); call generate_student directly"
+        )
+    mel = jnp.asarray(mel)
+
+    @jax.jit
+    def window_fn(params, z_win, mel_win, off, out_off):
+        cond = model.apply({"params": params}, mel_win,
+                           method="upsample_cond")
+        cond = jax.lax.dynamic_slice_in_dim(cond, off, WT, axis=1)
+        wav = model.apply({"params": params}, z_win, cond,
+                          method="flows_from_z")
+        return jax.lax.dynamic_slice_in_dim(wav, out_off, CT, axis=1)
+
+    if z is None and key is None:
+        raise ValueError("pass key= (chunk-stream noise) or z=")
+    z_blocks: dict = {}
+
+    def z_at(ws: int) -> jax.Array:
+        """Window [ws, ws+WT) of the base-noise stream."""
+        if z is not None:
+            return jnp.asarray(z[:, ws: ws + WT])
+        # windows advance monotonically: blocks before ws//CT are dead
+        for old in [k for k in z_blocks if k < ws // CT]:
+            del z_blocks[old]
+        parts = []
+        for b in range(ws // CT, (ws + WT - 1) // CT + 1):
+            if b not in z_blocks:
+                z_blocks[b] = (
+                    mol.sample_logistic(jax.random.fold_in(key, b),
+                                        (B, CT)) * temperature
+                )
+            parts.append(z_blocks[b])
+        full = jnp.concatenate(parts, axis=1)
+        lo = ws - (ws // CT) * CT
+        return full[:, lo: lo + WT]
+
+    n_chunks = F // chunk_frames
+    for c in range(n_chunks):
+        start = c * CT
+        ws = max(0, start - R)
+        f_start = min(max(ws // hop - H, 0), F - WF)
+        mel_win = jax.lax.dynamic_slice_in_dim(mel, f_start, WF, axis=1)
+        out = window_fn(
+            student_params, z_at(ws), mel_win,
+            jnp.int32(ws - f_start * hop), jnp.int32(start - ws),
+        )
+        yield np.asarray(out)
+
+
 def generate_teacher(
     cfg: Config,
     teacher_params: Any,

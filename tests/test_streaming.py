@@ -1,0 +1,81 @@
+"""Streaming (chunked) student synthesis ≡ whole-call generation.
+
+`generate.stream_student_chunks` recomputes each chunk with a
+receptive-field overlap prefix (the sp.py overlap-recompute geometry run
+sequentially), so concatenated chunks must equal the single-call output
+on the same base noise.  The reference had no streaming at all [R]
+(SURVEY.md §3.2 single-session generate); this is a serving capability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwn_tpu.config import get_config, override
+from pwn_tpu.generate import stream_student_chunks
+from pwn_tpu.models.student import init_student
+from pwn_tpu.ops import mol
+
+CFG = override(get_config("tiny_teacher"), "student.fused_layers", "off")
+
+
+@pytest.mark.parametrize("F,chunk_frames,B", [(64, 16, 1), (60, 10, 2)])
+def test_streaming_matches_whole_call(rng, F, chunk_frames, B):
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    params = variables["params"]
+    hop = CFG.dsp.hop_length
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (B, F, CFG.dsp.n_mels)).astype(np.float32)
+    )
+    z = mol.sample_logistic(jax.random.PRNGKey(3), (B, F * hop))
+
+    whole = jax.jit(
+        lambda v, z, m: model.apply(v, z, m, method="generate_from_z")
+    )(variables, z, mel)
+
+    chunks = list(stream_student_chunks(
+        CFG, params, mel, z=np.asarray(z), chunk_frames=chunk_frames
+    ))
+    assert len(chunks) == F // chunk_frames
+    assert all(c.shape == (B, chunk_frames * hop) for c in chunks)
+    streamed = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(
+        streamed, np.asarray(whole), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_streaming_chunk_noise_is_deterministic_and_bounded(rng):
+    """Without a pre-drawn z: same key -> identical chunks across calls,
+    finite output in [-1, 1], and the z-block cache stays bounded."""
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    params = variables["params"]
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (1, 64, CFG.dsp.n_mels)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(11)
+    a = np.concatenate(list(stream_student_chunks(
+        CFG, params, mel, key=key, chunk_frames=16
+    )), axis=1)
+    b = np.concatenate(list(stream_student_chunks(
+        CFG, params, mel, key=key, chunk_frames=16
+    )), axis=1)
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all() and np.abs(a).max() <= 1.0
+
+
+def test_streaming_validation():
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    params = variables["params"]
+    mel = np.zeros((1, 64, CFG.dsp.n_mels), np.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        next(stream_student_chunks(CFG, params, mel,
+                                   key=jax.random.PRNGKey(0),
+                                   chunk_frames=31))
+    with pytest.raises(ValueError, match="shorter than one"):
+        next(stream_student_chunks(
+            CFG, params, np.zeros((1, 16, CFG.dsp.n_mels), np.float32),
+            key=jax.random.PRNGKey(0), chunk_frames=16,
+        ))
+    with pytest.raises(ValueError, match="key"):
+        next(stream_student_chunks(CFG, params, mel, chunk_frames=16))
