@@ -204,6 +204,9 @@ def main(argv=None) -> int:
             )
             state, _ = mngr.restore(state)
             mngr.close()
+            from pwn_tpu.training.common import serving_params
+
+            gen_params = serving_params(state)
             if args.chunk_frames:
                 # streaming synthesis: chunks arrive incrementally (a
                 # server would ship them as they come, carrying the
@@ -214,7 +217,7 @@ def main(argv=None) -> int:
                 F = mel.shape[1]
                 Fp = F - F % args.chunk_frames  # drop the ragged tail
                 chunks = list(stream_student_chunks(
-                    cfg, state.params, mel[:, :Fp], key=key,
+                    cfg, gen_params, mel[:, :Fp], key=key,
                     chunk_frames=args.chunk_frames,
                     temperature=args.temperature,
                 ))
@@ -225,7 +228,7 @@ def main(argv=None) -> int:
                     _dsp.deemphasis(wav_cat, cfg.dsp.preemphasis)[0]
                 )
             else:
-                out = generate_student(cfg, state.params, mel, key,
+                out = generate_student(cfg, gen_params, mel, key,
                                        args.temperature)
         write_wav(args.output, out, sr)
         print(f"wrote {args.output}: {len(out)/sr:.2f}s @ {sr} Hz")

@@ -156,6 +156,10 @@ class TrainConfig:
     adam_b2: float = 0.999
     checkpoint_every: int = 2000
     log_every: int = 50
+    # Polyak/EMA parameter averaging (0 = off): checkpoints then carry
+    # ema_params and downstream consumers (generate, the distillation
+    # teacher input) run the average — the Parallel WaveNet recipe [PW]
+    ema_decay: float = 0.0
     seed: int = 0
     # length of the audio progress artifact dumped at checkpoint cadence
     # (teacher AR samples are sequential — keep them short)

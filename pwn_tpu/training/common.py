@@ -21,9 +21,31 @@ from pwn_tpu.config import TrainConfig
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState + the per-step rng key (distillation sampling)."""
+    """flax TrainState + the per-step rng key (distillation sampling)
+    + optional EMA (Polyak-averaged) params.
+
+    ema_params is None when `train.ema_decay` is 0 (default) so the
+    checkpoint tree is unchanged; when enabled, Parallel WaveNet's
+    recipe applies — train on live params, ship/score the average [PW].
+    """
 
     rng: jax.Array = struct.field(pytree_node=True, default=None)
+    ema_params: Any = struct.field(pytree_node=True, default=None)
+
+
+def update_ema(state: TrainState, decay: float) -> TrainState:
+    """One EMA step: ema <- ema*decay + params*(1-decay).  Call-site
+    gates on decay > 0 so the jit graph is untouched when disabled."""
+    new = jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        state.ema_params, state.params,
+    )
+    return state.replace(ema_params=new)
+
+
+def serving_params(state: TrainState) -> Any:
+    """The params a checkpoint consumer should run: EMA when tracked."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -47,6 +69,12 @@ def create_train_state(
         params=params,
         tx=make_optimizer(cfg),
         rng=rng if rng is not None else jax.random.PRNGKey(cfg.seed),
+        # jnp.array copies: ema must not alias params or donating the
+        # state buffers would see the same buffer twice
+        ema_params=(
+            jax.tree.map(lambda p: jnp.array(p, jnp.float32), params)
+            if cfg.ema_decay > 0 else None
+        ),
     )
 
 

@@ -35,7 +35,7 @@ from pwn_tpu.models.student import StudentIAF
 from pwn_tpu.models.teacher import TeacherWaveNet
 from pwn_tpu.ops import mol
 from pwn_tpu.parallel.mesh import batch_sharding, replicated
-from pwn_tpu.training.common import TrainState, global_norm
+from pwn_tpu.training.common import TrainState, global_norm, update_ema
 from pwn_tpu.training.teacher import prepare_batch
 from pwn_tpu.utils import dsp
 
@@ -146,6 +146,8 @@ def make_distill_train_step(
         )
         metrics["grad_norm"] = global_norm(grads)
         state = state.apply_gradients(grads=grads)
+        if cfg.train.ema_decay > 0:
+            state = update_ema(state, cfg.train.ema_decay)
         return state, metrics
 
     if mesh is None:
@@ -190,6 +192,8 @@ def make_distill_train_step(
         )
         metrics["grad_norm"] = global_norm(grads)
         state = state.apply_gradients(grads=grads)
+        if cfg.train.ema_decay > 0:
+            state = update_ema(state, cfg.train.ema_decay)
         return state, metrics
 
     return jax.jit(

@@ -26,7 +26,10 @@ from pwn_tpu.data.pipeline import local_batch_size
 from pwn_tpu.models.student import init_student
 from pwn_tpu.models.teacher import init_teacher
 from pwn_tpu.parallel import make_mesh, shard_batch
-from pwn_tpu.training.common import create_train_state
+from pwn_tpu.training.common import (
+    create_train_state,
+    serving_params as _serving,
+)
 from pwn_tpu.training.distill import make_distill_train_step
 from pwn_tpu.training.teacher import make_teacher_train_step
 from pwn_tpu.utils.checkpoint import CheckpointManager
@@ -281,7 +284,7 @@ def run_teacher_training(
         clip = val_ds[0][:n]
         mel = mel_from_wav(cfg, clip.astype("float32"))
         wav = generate_teacher(
-            cfg, jax.device_get(state.params), mel,
+            cfg, jax.device_get(_serving(state)), mel,
             jax.random.PRNGKey(step), temperature=0.8,
         )
         write_wav(
@@ -337,7 +340,7 @@ def run_distillation(
         clip = SyntheticTones(1, sr, sr, seed=777)[0]
         mel = mel_from_wav(cfg, clip)
         wav = generate_student(
-            cfg, jax.device_get(state.params), mel,
+            cfg, jax.device_get(_serving(state)), mel,
             jax.random.PRNGKey(step),
         )
         write_wav(
@@ -416,7 +419,7 @@ def run_student_direct_training(
         clip = SyntheticTones(1, sr, sr, seed=777)[0]
         mel = mel_from_wav(cfg, clip)
         wav = generate_student(
-            cfg, jax.device_get(state.params), mel,
+            cfg, jax.device_get(_serving(state)), mel,
             jax.random.PRNGKey(step),
         )
         write_wav(
@@ -439,7 +442,11 @@ def run_student_direct_training(
 
 def load_teacher_params(cfg: Config, workdir: str):
     """Restore teacher params from a training workdir (frozen distillation
-    input artifact, BASELINE config[2])."""
+    input artifact, BASELINE config[2]).  When the checkpoint carries EMA
+    params (train.ema_decay > 0), those are returned — Parallel WaveNet
+    distilled from the averaged teacher [PW]."""
+    from pwn_tpu.training.common import serving_params
+
     model, variables = init_teacher(cfg, jax.random.PRNGKey(cfg.train.seed))
     state = create_train_state(variables["params"], cfg.train)
     ckpt = CheckpointManager(
@@ -447,4 +454,4 @@ def load_teacher_params(cfg: Config, workdir: str):
     )
     state, step = ckpt.restore(state)
     ckpt.close()
-    return model, state.params, step
+    return model, serving_params(state), step

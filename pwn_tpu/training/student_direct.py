@@ -33,7 +33,7 @@ from pwn_tpu.config import Config
 from pwn_tpu.models.student import StudentIAF
 from pwn_tpu.ops import mol
 from pwn_tpu.parallel.mesh import batch_sharding, replicated
-from pwn_tpu.training.common import TrainState, global_norm
+from pwn_tpu.training.common import TrainState, global_norm, update_ema
 from pwn_tpu.training.distill import spectral_power_loss
 from pwn_tpu.training.teacher import prepare_batch
 
@@ -89,6 +89,8 @@ def make_student_direct_train_step(
         )
         metrics["grad_norm"] = global_norm(grads)
         state = state.apply_gradients(grads=grads)
+        if cfg.train.ema_decay > 0:
+            state = update_ema(state, cfg.train.ema_decay)
         return state, metrics
 
     if mesh is None:
@@ -126,6 +128,8 @@ def make_student_direct_train_step(
         metrics, grads = sharded_grads(state.params, wav, step_key)
         metrics["grad_norm"] = global_norm(grads)
         state = state.apply_gradients(grads=grads)
+        if cfg.train.ema_decay > 0:
+            state = update_ema(state, cfg.train.ema_decay)
         return state, metrics
 
     return jax.jit(

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from pwn_tpu.config import Config
 from pwn_tpu.models.teacher import TeacherWaveNet
 from pwn_tpu.parallel.mesh import batch_sharding, replicated
-from pwn_tpu.training.common import TrainState, global_norm
+from pwn_tpu.training.common import TrainState, global_norm, update_ema
 from pwn_tpu.utils import dsp
 
 
@@ -57,6 +57,8 @@ def make_teacher_train_step(
             "grad_norm": global_norm(grads),
         }
         state = state.apply_gradients(grads=grads)
+        if cfg.train.ema_decay > 0:
+            state = update_ema(state, cfg.train.ema_decay)
         return state, metrics
 
     if mesh is None:
@@ -92,6 +94,8 @@ def make_teacher_train_step(
         loss, grads = sharded_grads(state.params, wav)
         metrics = {"loss": loss, "grad_norm": global_norm(grads)}
         state = state.apply_gradients(grads=grads)
+        if cfg.train.ema_decay > 0:
+            state = update_ema(state, cfg.train.ema_decay)
         return state, metrics
 
     return jax.jit(

@@ -113,6 +113,58 @@ def test_multires_power_loss_and_kl_warmup(rng):
     assert min(losses[3:]) < losses[1]
 
 
+def test_ema_params_track_and_serve(rng, tmp_path):
+    """train.ema_decay > 0: the state carries Polyak-averaged params
+    that lag the live ones, serving_params returns them, and the
+    checkpoint roundtrip preserves them (the PW recipe: train live,
+    ship the average)."""
+    from pwn_tpu.training.common import serving_params, update_ema
+    from pwn_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = override(CFG, "train.ema_decay", 0.5)
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(0))
+    # snapshot before stepping: the state (aliasing these buffers) is
+    # donated into the jitted step
+    init = [np.asarray(x) for x in jax.tree.leaves(variables["params"])]
+    state = create_train_state(variables["params"], cfg.train)
+    assert state.ema_params is not None
+    step = make_teacher_train_step(model, cfg)
+    wav = _batch(rng)
+    for _ in range(3):
+        state, _ = step(state, wav)
+
+    p = jax.tree.leaves(state.params)
+    e = [np.asarray(x) for x in jax.tree.leaves(state.ema_params)]
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(p, e)
+    )
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(e, init)
+    )
+    assert serving_params(state) is state.ema_params
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(int(state.step), state)
+    mngr.close()
+    _, fresh_vars = init_teacher(cfg, jax.random.PRNGKey(9))
+    fresh = create_train_state(fresh_vars["params"], cfg.train)
+    mngr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored, _ = mngr2.restore(fresh)
+    mngr2.close()
+    for a, b in zip(jax.tree.leaves(restored.ema_params), e):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # decay=0 keeps the tree shape unchanged (old checkpoints readable)
+    off = create_train_state(fresh_vars["params"], CFG.train)
+    assert off.ema_params is None
+    assert serving_params(off) is off.params
+    # update_ema math
+    s2 = update_ema(state, 1.0)  # decay 1: ema unchanged
+    for a, b in zip(jax.tree.leaves(s2.ema_params), e):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_nested_tuple_override_coercion():
     """CLI string form of power_loss_resolutions parses to nested
     tuples (config.py::_coerce literal_eval fallback)."""
