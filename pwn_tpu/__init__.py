@@ -39,3 +39,24 @@ from pwn_tpu.config import (  # noqa: F401
     get_config,
     list_configs,
 )
+
+# lazy convenience exports (keep `import pwn_tpu` light: these pull in
+# jax/flax model code on first touch only)
+_LAZY = {
+    "generate_student": "pwn_tpu.generate",
+    "generate_teacher": "pwn_tpu.generate",
+    "stream_student_chunks": "pwn_tpu.generate",
+    "mel_from_wav": "pwn_tpu.generate",
+    "run_teacher_training": "pwn_tpu.training.loop",
+    "run_distillation": "pwn_tpu.training.loop",
+    "run_student_direct_training": "pwn_tpu.training.loop",
+    "load_teacher_params": "pwn_tpu.training.loop",
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'pwn_tpu' has no attribute {name!r}")
