@@ -67,7 +67,11 @@ def test_mol_continuous_density_integrates_to_one(seed):
     """The continuous mixture density must integrate to ~1 (trapezoid
     over a wide support)."""
     params = _mol_params(seed)
-    x = jnp.linspace(-6.0, 6.0, 8001)
+    # support must cover the widest draw's tails: scale can reach
+    # e^0 = 1, and a logistic at mean 0.9/scale 1 still has ~6e-3 mass
+    # past x=6 (hypothesis found seed 513417 leaking 2.2e-3 over a
+    # [-6, 6] window); ±16 bounds the leak below e^-15
+    x = jnp.linspace(-16.0, 16.0, 64001)
     pdf = jnp.exp(
         mol.mol_log_density(
             x, jnp.broadcast_to(params, x.shape + params.shape)
