@@ -64,6 +64,24 @@ def test_streaming_chunk_noise_is_deterministic_and_bounded(rng):
     assert np.isfinite(a).all() and np.abs(a).max() <= 1.0
 
 
+def test_streaming_window_fn_is_cached():
+    """Successive generators with the same (config, chunk size) must
+    reuse one jitted window fn — serving spawns a generator per request,
+    and re-jitting put warm time-to-first-chunk at 3.9 s (TPU session
+    15) before `generate._stream_window_fn` was lru-cached."""
+    from pwn_tpu.generate import _stream_window_fn
+
+    a = _stream_window_fn(CFG, 16)
+    b = _stream_window_fn(CFG, 16)
+    assert a is b
+    assert _stream_window_fn(CFG, 8) is not a  # distinct chunk size
+    # distinct-but-equal config objects hit the same entry
+    cfg2 = override(get_config("tiny_teacher"),
+                    "student.fused_layers", "off")
+    assert cfg2 is not CFG
+    assert _stream_window_fn(cfg2, 16) is a
+
+
 def test_streaming_validation():
     model, variables = init_student(CFG, jax.random.PRNGKey(0))
     params = variables["params"]
