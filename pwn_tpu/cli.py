@@ -188,17 +188,12 @@ def main(argv=None) -> int:
         else:
             import os
 
-            from pwn_tpu.models.student import init_student
-            from pwn_tpu.training.common import create_train_state
+            from pwn_tpu.training.loop import abstract_state_template
             from pwn_tpu.utils.checkpoint import CheckpointManager
 
-            _, s_vars = init_student(
-                cfg, jax.random.PRNGKey(cfg.train.seed + 1)
-            )
-            state = create_train_state(
-                s_vars["params"], cfg.train,
-                rng=jax.random.PRNGKey(0),
-            )
+            # shape-only template: skips the ~55 s fused-kernel compile
+            # a real init would pay just to be overwritten by restore
+            state = abstract_state_template(cfg, "student")
             mngr = CheckpointManager(
                 os.path.join(os.path.abspath(args.workdir), "ckpt_student")
             )

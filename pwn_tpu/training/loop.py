@@ -440,15 +440,35 @@ def run_student_direct_training(
     )
 
 
+def abstract_state_template(cfg: Config, kind: str):
+    """Abstract (shape/dtype-only) TrainState for checkpoint restore.
+
+    Real init traces AND compiles the model forward just to draw initial
+    params that restore immediately overwrites — ~55 s on the axon TPU
+    for student_iaf (the fused-kernel compile; r2 session 16).  Restore
+    only needs tree structure + shapes, which `jax.eval_shape` builds
+    with zero device compute (~2 s)."""
+    init = init_teacher if kind == "teacher" else init_student
+
+    def build(key):
+        _, variables = init(cfg, key)
+        return create_train_state(
+            variables["params"], cfg.train, rng=jax.random.PRNGKey(0)
+        )
+
+    return jax.eval_shape(build, jax.random.PRNGKey(cfg.train.seed))
+
+
 def load_teacher_params(cfg: Config, workdir: str):
     """Restore teacher params from a training workdir (frozen distillation
     input artifact, BASELINE config[2]).  When the checkpoint carries EMA
     params (train.ema_decay > 0), those are returned — Parallel WaveNet
     distilled from the averaged teacher [PW]."""
+    from pwn_tpu.models.teacher import make_teacher
     from pwn_tpu.training.common import serving_params
 
-    model, variables = init_teacher(cfg, jax.random.PRNGKey(cfg.train.seed))
-    state = create_train_state(variables["params"], cfg.train)
+    model = make_teacher(cfg)
+    state = abstract_state_template(cfg, "teacher")
     ckpt = CheckpointManager(
         os.path.join(os.path.abspath(workdir), "ckpt_teacher")
     )
