@@ -113,9 +113,13 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
 
-    from pwn_tpu.utils.platform import respect_jax_platforms_env
+    from pwn_tpu.utils.platform import (
+        enable_persistent_compilation_cache,
+        respect_jax_platforms_env,
+    )
 
     respect_jax_platforms_env()
+    enable_persistent_compilation_cache()
 
     if args.cmd == "train-teacher":
         from pwn_tpu.training.loop import run_teacher_training

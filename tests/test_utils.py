@@ -105,3 +105,31 @@ def test_flops_model_and_peak_lookup():
     big = student_gen_flops_per_sample(get_config("large_student_sharded"))
     assert 0 < s < big
     assert peak_bf16_tflops() is None  # cpu test env
+
+
+def test_persistent_compilation_cache_config(monkeypatch, tmp_path):
+    """CLI cache enable: default dir, env opt-out, and no clobbering an
+    explicit JAX_COMPILATION_CACHE_DIR / prior config value."""
+    import jax
+
+    from pwn_tpu.utils.platform import enable_persistent_compilation_cache
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        # explicit prior setting wins
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "x"))
+        enable_persistent_compilation_cache(str(tmp_path / "y"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "x")
+
+        # opt-out
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("PWN_TPU_COMPILE_CACHE", "off")
+        enable_persistent_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+
+        # env-directed path
+        monkeypatch.setenv("PWN_TPU_COMPILE_CACHE", str(tmp_path / "z"))
+        enable_persistent_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "z")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
