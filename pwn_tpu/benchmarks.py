@@ -382,11 +382,56 @@ def teacher_fwd_flops_per_sample(cfg: Config) -> float:
     return 2.0 * macs
 
 
+def analytic_dp_efficiency(cfg: Config, step_ms: float,
+                           counts=(2, 4, 8, 16, 64, 256)) -> Any:
+    """Predicted DP weak-scaling efficiency from the roofline the CPU
+    sim cannot measure (its 8 virtual devices share 4 host cores, so
+    measured sim "efficiency" reflects oversubscription, not ICI).
+
+    Model: per step, fp32 gradients ring-all-reduce 2·P·(n−1)/n bytes
+    per chip; efficiency = step / (step + comm), zero overlap assumed
+    (conservative — XLA overlaps the all-reduce with the backward).
+    Bandwidths: v5e ICI 2×45 GB/s per chip along one torus axis
+    (intra-slice), DCN ≈ 25 GB/s per host (the ≥2-host rows; 8 chips'
+    grads funnel through one host NIC after an intra-slice reduce).
+    SURVEY §6 target: ≥85 % to N≥2 hosts.
+    """
+    import numpy as _np
+
+    tpl = jax.eval_shape(
+        lambda k: init_teacher(cfg, k)[1]["params"], jax.random.PRNGKey(0)
+    )
+    p_bytes = sum(
+        int(_np.prod(leaf.shape)) * 4 for leaf in jax.tree.leaves(tpl)
+    )
+    ICI_BW = 9.0e10   # bytes/s, v5e, one torus axis both directions
+    DCN_BW = 2.5e10   # bytes/s per host
+    rows = []
+    for n in counts:
+        hosts = max(1, n // 8)
+        if hosts == 1:
+            comm_s = 2.0 * p_bytes * (n - 1) / n / ICI_BW
+            link = "ici"
+        else:
+            # intra-slice reduce (ICI) + inter-host ring over DCN
+            comm_s = (2.0 * p_bytes * 7 / 8 / ICI_BW
+                      + 2.0 * p_bytes * (hosts - 1) / hosts / DCN_BW)
+            link = "dcn"
+        eff = (step_ms / 1e3) / ((step_ms / 1e3) + comm_s)
+        rows.append({"devices": n, "hosts": hosts, "link": link,
+                     "comm_ms": round(comm_s * 1e3, 3),
+                     "predicted_efficiency": round(eff, 4)})
+    return {"param_bytes": p_bytes, "step_ms": step_ms,
+            "note": "ring all-reduce roofline, zero overlap assumed",
+            "rows": rows}
+
+
 def _dp_scaling_cpu_sim() -> Any:
     """CPU-simulated DP scaling table in a subprocess with 8 virtual
     devices (the single-chip axon environment cannot grow real devices).
     Rows are labelled sim — throughput is bounded by the shared host
-    cores, so the table audits the sharding machinery, not ICI."""
+    cores (4), so the table audits the sharding machinery end-to-end,
+    not ICI; `analytic_dp_efficiency` carries the hardware claim."""
     import json
     import os
     import subprocess
@@ -467,6 +512,9 @@ def run_bench(case: str = "student_iaf", overrides=None,
             )
         else:
             detail["dp_scaling"] = _dp_scaling_cpu_sim()
+        detail["dp_analytic"] = analytic_dp_efficiency(
+            t_cfg, detail["teacher_train"]["step_ms"]
+        )
     detail["mfu"] = mfu
     value = student["audio_sec_per_s_per_chip"]
     return {
@@ -503,8 +551,10 @@ def measure_scaling(cfg: Config, n_iters: int = 4):
     for n in counts:
         mesh = Mesh(_np.asarray(devices[:n]).reshape(n, 1),
                     ("data", "model"))
-        B = max(cfg.train.global_batch_size, n)
-        B -= B % n
+        # weak scaling: per-device batch held at the 1-device global
+        # batch (the convention behind SURVEY §6's "batch 256 across 2
+        # hosts" config); ideal = flat step_ms, efficiency 1.0
+        B = cfg.train.global_batch_size * n
         ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
         wav = jax.device_put(
             next(make_train_iterator(ds, cfg, B, seed=0)),

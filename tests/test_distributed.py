@@ -103,7 +103,29 @@ def test_measure_scaling_table(rng):
     assert [r["devices"] for r in rows] == [1, 2, 4, 8]
     assert rows[0]["efficiency"] == 1.0
     for r in rows:
+        # weak scaling: global batch grows with the device count
+        assert r["batch"] == 8 * r["devices"]
         assert r["utt_per_s"] > 0 and np.isfinite(r["efficiency"])
+
+
+def test_analytic_dp_efficiency():
+    """Roofline DP-efficiency model: monotone-decreasing in device
+    count, DCN rows cost more than ICI, and the SURVEY §6 ≥85 % target
+    holds for the teacher at its measured step time."""
+    from pwn_tpu.benchmarks import analytic_dp_efficiency
+    from pwn_tpu.config import get_config
+
+    r = analytic_dp_efficiency(get_config("teacher_lj"), step_ms=17.3)
+    assert r["param_bytes"] > 1e6
+    effs = [row["predicted_efficiency"] for row in r["rows"]]
+    assert all(a >= b for a, b in zip(effs, effs[1:]))
+    assert all(e > 0.85 for e in effs)
+    ici = [row for row in r["rows"] if row["link"] == "ici"]
+    dcn = [row for row in r["rows"] if row["link"] == "dcn"]
+    assert ici and dcn
+    assert min(row["comm_ms"] for row in dcn) > max(
+        row["comm_ms"] for row in ici
+    )
 
 
 def test_teacher_factory_dp_step_matches_single_device(rng):
