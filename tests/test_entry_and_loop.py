@@ -100,6 +100,7 @@ def test_cli_end_to_end(tmp_path):
     """Full CLI pipeline: train-teacher -> distill-student -> generate."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PWN_TPU_COMPILE_CACHE"] = "off"  # keep $HOME clean in CI
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
@@ -137,3 +138,12 @@ def test_cli_end_to_end(tmp_path):
     wav, sr = read_wav(out_wav)
     assert sr == 16000
     assert len(wav) >= 0.2 * sr
+
+    # streaming CLI path: chunked synthesis from the same checkpoint
+    stream_wav = str(tmp_path / "gen_stream.wav")
+    r = run(["generate", "tiny_teacher", "--workdir", wd_s,
+             "--output", stream_wav, "--seconds", "1.0",
+             "--chunk-frames", "8"] + common)
+    assert "wrote" in r.stdout
+    swav, ssr = read_wav(stream_wav)
+    assert ssr == 16000 and len(swav) >= 0.8 * ssr
