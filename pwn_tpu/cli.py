@@ -107,6 +107,19 @@ def main(argv=None) -> int:
     p_eval.add_argument("--gen", required=True)
     p_eval.add_argument("overrides", nargs="*")
 
+    p_srv = sub.add_parser(
+        "serve",
+        help="streaming vocoder HTTP server (POST /synthesize with a "
+             "wav body -> chunked PCM16; GET /healthz)",
+    )
+    p_srv.add_argument("case")
+    p_srv.add_argument("--workdir", default="runs/student")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8600)
+    p_srv.add_argument("--chunk-frames", type=int, default=64,
+                       help="mel frames per streamed chunk")
+    p_srv.add_argument("overrides", nargs="*")
+
     p_bench = sub.add_parser("bench", help="run the benchmark suite")
     p_bench.add_argument("case", nargs="?", default="student_iaf")
     p_bench.add_argument("overrides", nargs="*")
@@ -244,6 +257,14 @@ def main(argv=None) -> int:
         gen, _ = read_wav(args.gen, target_sr=cfg.dsp.sample_rate)
         n = min(len(ref), len(gen))
         print(json.dumps(copy_synthesis_report(cfg, ref[:n], gen[:n])))
+        return 0
+
+    if args.cmd == "serve":
+        from pwn_tpu.serve import serve_forever
+
+        cfg = _load_config(args.case, args.overrides)
+        serve_forever(cfg, args.workdir, args.host, args.port,
+                      chunk_frames=args.chunk_frames)
         return 0
 
     if args.cmd == "bench":

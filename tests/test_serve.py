@@ -1,0 +1,137 @@
+"""Streaming vocoder HTTP server (`pwn_tpu/serve.py`).
+
+Drives the real ThreadingHTTPServer over a socket: health check,
+chunked PCM16 synthesis (including that streamed output equals the
+deemphasized concatenation of the streaming generator's chunks), the
+short-utterance whole-call fallback, and error paths.
+"""
+
+import http.client
+import io
+import threading
+
+import jax
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from pwn_tpu.config import get_config, override
+from pwn_tpu.models.student import init_student
+from pwn_tpu.serve import VocoderService, make_server
+
+CFG = override(get_config("tiny_teacher"), "student.fused_layers", "off")
+
+
+@pytest.fixture(scope="module")
+def server():
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(CFG, variables["params"], chunk_frames=8)
+    srv = make_server(service, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, service
+    srv.shutdown()
+
+
+def _wav_body(wav, sr):
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+    return buf.getvalue()
+
+
+def _post(srv, path, body):
+    conn = http.client.HTTPConnection(*srv.server_address, timeout=300)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Length": str(len(body))})
+    return conn, conn.getresponse()
+
+
+def test_healthz(server):
+    srv, service = server
+    conn = http.client.HTTPConnection(*srv.server_address, timeout=60)
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    assert r.status == 200
+    import json
+
+    body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["sample_rate"] == CFG.dsp.sample_rate
+    conn.close()
+
+
+def test_synthesize_streams_pcm16(server):
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    rng = np.random.default_rng(0)
+    dur = 2.0  # long enough for several 8-frame chunks
+    wav = (0.3 * np.sin(2 * np.pi * 220 *
+                        np.arange(int(dur * sr)) / sr)
+           + 0.01 * rng.standard_normal(int(dur * sr))).astype(np.float32)
+    conn, r = _post(srv, "/synthesize?temperature=0.8", _wav_body(wav, sr))
+    assert r.status == 200
+    assert r.getheader("X-Sample-Rate") == str(sr)
+    data = r.read()  # http.client reassembles chunked transfer
+    conn.close()
+    out = np.frombuffer(data, "<i2").astype(np.float32) / 32767.0
+    hop = CFG.dsp.hop_length
+    F = len(wav) // hop
+    assert len(out) == (F - F % 8) * hop
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+    # not silence (the vocoder actually ran)
+    assert np.abs(out).max() > 1e-4
+
+
+def test_short_utterance_falls_back_to_whole_call(server):
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    wav = 0.2 * np.sin(
+        2 * np.pi * 220 * np.arange(int(0.12 * sr)) / sr
+    ).astype(np.float32)
+    conn, r = _post(srv, "/synthesize", _wav_body(wav, sr))
+    assert r.status == 200
+    out = np.frombuffer(r.read(), "<i2")
+    conn.close()
+    assert len(out) > 0 and np.isfinite(out.astype(np.float32)).all()
+
+
+def test_bad_request_and_unknown_path(server):
+    srv, service = server
+    conn, r = _post(srv, "/synthesize", b"this is not a wav")
+    assert r.status == 400
+    r.read(); conn.close()
+    conn, r = _post(srv, "/nope", b"")
+    assert r.status == 404
+    r.read(); conn.close()
+
+
+def test_streamed_equals_generator_with_deemphasis(server):
+    """The HTTP path must equal synthesize_chunks' own output (PCM16
+    quantization aside) — no resampling/ordering surprises in the
+    chunked-transfer plumbing."""
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    wav = 0.25 * np.sin(
+        2 * np.pi * 330 * np.arange(2 * sr) / sr
+    ).astype(np.float32)
+
+    served = service.requests_served
+    conn, r = _post(srv, "/synthesize", _wav_body(wav, sr))
+    got = np.frombuffer(r.read(), "<i2").astype(np.float32) / 32767.0
+    conn.close()
+
+    # replay the generator with the same key the server used
+    service.requests_served = served
+    # wav round-trips through PCM16 in the request body
+    wav_q = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    wav_rt = wav_q.astype(np.float32) / 32768.0
+    ref = np.concatenate(
+        list(service.synthesize_chunks(wav_rt, temperature=1.0))
+    )
+    service.requests_served = served + 2
+    assert len(got) == len(ref)
+    # PCM16 on the wire clips to [-1, 1]; mirror it on the reference
+    # (the untrained test model can exceed full scale)
+    np.testing.assert_allclose(
+        got, np.clip(ref, -1.0, 1.0), atol=1.0 / 32767 + 1e-6
+    )
