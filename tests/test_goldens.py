@@ -86,3 +86,28 @@ def test_eval_metrics_sane(g, cfg):
     rep_noise = copy_synthesis_report(cfg, clip, clip + noise)
     assert rep_noise["mel_l2"] > rep_same["mel_l2"]
     assert rep_noise["log_spectral_distance_db"] > 1.0
+
+
+def test_voiced_metrics_isolate_silence_noise(cfg):
+    """lsd_voiced ignores silent-frame noise; silence_noise_floor_db
+    catches it (the r2 best-recipe failure mode)."""
+    from pwn_tpu.evaluate import voiced_metrics
+
+    sr = cfg.dsp.sample_rate
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref = np.concatenate([tone, np.zeros(sr, np.float32)])
+
+    # generated: perfect tone, noisy silence
+    noise = (0.02 * np.random.default_rng(0)
+             .standard_normal(sr)).astype(np.float32)
+    gen = np.concatenate([tone, noise])
+
+    clean = voiced_metrics(cfg, ref, ref)
+    noisy = voiced_metrics(cfg, ref, gen)
+    assert 0.3 < noisy["voiced_fraction"] < 0.7
+    # voiced half identical -> voiced LSD stays near zero
+    assert noisy["lsd_voiced_db"] < 1.0
+    # noise floor metric moves by ~the injected 0.02 RMS (-34 dBFS)
+    assert noisy["silence_noise_floor_db"] > -40.0
+    assert clean["silence_noise_floor_db"] < -70.0
