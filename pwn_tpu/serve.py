@@ -97,7 +97,15 @@ class VocoderService:
                           chunk_frames: Optional[int] = None):
         """Yield deemphasized float32 waveform chunks for a conditioning
         waveform.  Utterances shorter than one streaming window fall
-        back to a single whole-call chunk."""
+        back to a single whole-call chunk.
+
+        Device work runs in a producer thread draining into a queue, so
+        the device lock is held only while the chip computes — a client
+        reading its response slowly buffers in host RAM (bounded by the
+        utterance) instead of stalling other requests.
+        """
+        import queue
+
         from pwn_tpu.generate import (
             generate_student,
             mel_from_wav,
@@ -111,23 +119,40 @@ class VocoderService:
         F = mel.shape[1]
         Fp = F - F % cf
         deemph = _Deemph(self.cfg.dsp.preemphasis)
-        with self.lock:
-            try:
-                if Fp < cf:
-                    raise ValueError("short utterance")
-                gen = stream_student_chunks(
-                    self.cfg, self.params, mel[:, :Fp], key=key,
-                    chunk_frames=cf, temperature=temperature,
-                )
-                for chunk in gen:
-                    yield deemph(chunk[0])
-            except ValueError:
-                # shorter than one overlap window (or ragged-only):
-                # one-shot generate, already deemphasized
-                yield np.asarray(
-                    generate_student(self.cfg, self.params, mel, key,
-                                     temperature=temperature)
-                )
+        q: "queue.Queue" = queue.Queue()
+
+        def produce() -> None:
+            with self.lock:
+                try:
+                    try:
+                        if Fp < cf:
+                            raise ValueError("short utterance")
+                        for chunk in stream_student_chunks(
+                            self.cfg, self.params, mel[:, :Fp], key=key,
+                            chunk_frames=cf, temperature=temperature,
+                        ):
+                            q.put(("chunk", chunk[0]))
+                    except ValueError:
+                        # shorter than one overlap window (or ragged
+                        # only): one-shot generate_student, which
+                        # deemphasizes internally — emitted as "whole"
+                        # so the consumer skips its deemphasis filter
+                        q.put(("whole", np.asarray(generate_student(
+                            self.cfg, self.params, mel, key,
+                            temperature=temperature,
+                        ))))
+                except Exception as e:  # noqa: BLE001 — relay to client
+                    q.put(("error", e))
+                q.put(("done", None))
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                return
+            if kind == "error":
+                raise payload
+            yield deemph(payload) if kind == "chunk" else payload
 
 
 def _make_handler(service: VocoderService):

@@ -105,6 +105,33 @@ def test_bad_request_and_unknown_path(server):
     r.read(); conn.close()
 
 
+def test_slow_client_does_not_hold_the_device(server):
+    """Device production drains into a host buffer: a client that stops
+    reading mid-response must not block another request (the lock is
+    held only while the chip computes)."""
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    wav = 0.25 * np.sin(
+        2 * np.pi * 330 * np.arange(2 * sr) / sr
+    ).astype(np.float32)
+    body = _wav_body(wav, sr)
+
+    conn_a, r_a = _post(srv, "/synthesize", body)
+    assert r_a.status == 200
+    first_a = r_a.read(512)  # then stop reading — slow client
+
+    # second request completes fully while A's response is unread
+    conn_b, r_b = _post(srv, "/synthesize", body)
+    assert r_b.status == 200
+    out_b = r_b.read()
+    conn_b.close()
+    assert len(out_b) > 0
+
+    rest_a = r_a.read()
+    conn_a.close()
+    assert len(first_a) + len(rest_a) == len(out_b)
+
+
 def test_streamed_equals_generator_with_deemphasis(server):
     """The HTTP path must equal synthesize_chunks' own output (PCM16
     quantization aside) — no resampling/ordering surprises in the
