@@ -80,6 +80,26 @@ def test_two_process_step_matches_single_process(tmp_path):
     step_fn = make_teacher_train_step(model, cfg, mesh=mesh)
     ds = SyntheticTones(8, 2048, cfg.dsp.sample_rate, seed=123)
     full = np.stack([ds[i][:1024] for i in range(8)]).astype(np.float32)
+
+    # replicated reference for the worker's cross-process-TP phase
+    # (same init params + batch, loss/grad-norm before any step)
+    from pwn_tpu.training.common import global_norm
+    from pwn_tpu.training.teacher import prepare_batch
+
+    @jax.jit
+    def loss_gnorm(params, wav):
+        x, mel = prepare_batch(wav, cfg)
+
+        def loss_fn(p):
+            return model.apply({"params": p}, x, mel, method="loss")
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, global_norm(grads)
+
+    ref_loss, ref_gnorm = map(
+        float, loss_gnorm(variables["params"], jax.numpy.asarray(full))
+    )
+
     state, metrics = step_fn(state, shard_batch(mesh, full))
 
     np.testing.assert_allclose(
@@ -89,3 +109,9 @@ def test_two_process_step_matches_single_process(tmp_path):
     means = np.array([np.float64(np.mean(x)) for x in leaves])
     np.testing.assert_allclose(means, two_proc["means"], rtol=1e-4,
                                atol=1e-7)
+
+    # TP across the process boundary ≡ replicated single-process
+    np.testing.assert_allclose(float(two_proc["tp_loss"]), ref_loss,
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(two_proc["tp_gnorm"]), ref_gnorm,
+                               rtol=2e-3)
