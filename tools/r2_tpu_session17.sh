@@ -12,6 +12,24 @@ D=/tmp/demo_best
 CACHE=/tmp/s17cache
 rm -rf "$CACHE"
 
+if [ ! -f "$D/source.wav" ]; then
+  mkdir -p "$D"
+  python - "$D" <<'EOF'
+import sys
+import os; os.environ["JAX_PLATFORMS"]="cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
+from pwn_tpu.data import SyntheticSpeech
+from pwn_tpu.utils.audio_io import write_wav
+d = sys.argv[1]
+write_wav(f"{d}/source.wav",
+          SyntheticSpeech(1, 4 * 22050, 22050, seed=7919)[0], 22050)
+EOF
+fi
+if [ ! -d "$D/student/ckpt_student" ]; then
+  echo "no student checkpoint in $D — rerun tools/r2_best_recipe_demo.sh first"
+  exit 1
+fi
+
 echo "== 1. CLI generate: cold (fresh cache) then warm =="
 for run in cold warm; do
   s=$(date +%s)
