@@ -29,6 +29,7 @@ HTTP layer is threaded so health checks never queue behind synthesis.
 from __future__ import annotations
 
 import io
+import itertools
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -74,6 +75,7 @@ class VocoderService:
         self.params = params
         self.chunk_frames = chunk_frames
         self.lock = threading.Lock()  # one chip, one compute stream
+        self._counter = itertools.count()  # atomic under the GIL
         self.requests_served = 0
 
     @classmethod
@@ -114,8 +116,11 @@ class VocoderService:
 
         cf = chunk_frames or self.chunk_frames
         mel = mel_from_wav(self.cfg, wav.astype(np.float32))
-        key = jax.random.PRNGKey(self.requests_served)
-        self.requests_served += 1
+        # per-request noise stream; itertools.count is atomic, so two
+        # threads entering together still get distinct keys
+        req_id = next(self._counter)
+        key = jax.random.PRNGKey(req_id)
+        self.requests_served = req_id + 1
         F = mel.shape[1]
         Fp = F - F % cf
         deemph = _Deemph(self.cfg.dsp.preemphasis)

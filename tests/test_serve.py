@@ -148,14 +148,16 @@ def test_streamed_equals_generator_with_deemphasis(server):
     conn.close()
 
     # replay the generator with the same key the server used
-    service.requests_served = served
+    import itertools
+
+    service._counter = itertools.count(served)
     # wav round-trips through PCM16 in the request body
     wav_q = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
     wav_rt = wav_q.astype(np.float32) / 32768.0
     ref = np.concatenate(
         list(service.synthesize_chunks(wav_rt, temperature=1.0))
     )
-    service.requests_served = served + 2
+    service._counter = itertools.count(served + 2)  # past the replay
     assert len(got) == len(ref)
     # PCM16 on the wire clips to [-1, 1]; mirror it on the reference
     # (the untrained test model can exceed full scale)
