@@ -5,7 +5,7 @@
 # (the /tmp/demo_best best-recipe checkpoint was lost to a VM reset;
 # these checks only need *a* student checkpoint, not the best one).
 # One TPU process at a time throughout.
-set -e
+set -e -o pipefail
 cd /root/repo
 D=${1:-/tmp/demo_direct}
 CACHE=/tmp/s19cache
@@ -32,10 +32,19 @@ PWN_TPU_COMPILE_CACHE=$CACHE python -m pwn_tpu.cli serve student_iaf \
   train.synthetic_corpus=speech train.ema_decay=0.9995 \
   > /tmp/s19_serve.log 2>&1 &
 SRV=$!
+# Never leave the serve process holding the chip claim, whatever kills
+# this script (set -e, tunnel hang, ^C) — ADVICE r2.
+trap 'kill $SRV 2>/dev/null; wait $SRV 2>/dev/null' EXIT
+healthy=0
 for i in $(seq 1 240); do
-  curl -s -m 2 localhost:8614/healthz >/dev/null 2>&1 && break
+  curl -s -m 2 localhost:8614/healthz >/dev/null 2>&1 && { healthy=1; break; }
   sleep 2
 done
+if [ "$healthy" != 1 ]; then
+  echo "serve never became healthy after 8 min — serve log tail:" >&2
+  tail -20 /tmp/s19_serve.log >&2
+  exit 1
+fi
 curl -s localhost:8614/healthz; echo
 python - "$D" <<'EOF'
 import io, sys, time, http.client
@@ -59,4 +68,5 @@ for run in range(2):
 EOF
 kill $SRV
 wait $SRV 2>/dev/null || true
+trap - EXIT
 echo "serve smoke done"
