@@ -40,56 +40,24 @@ def generate_student(
     mel: jax.Array,
     key: jax.Array,
     temperature: float = 1.0,
-    flow_backend: str = "module",
 ) -> np.ndarray:
-    """Single-pass student synthesis.
+    """Single-pass student synthesis (StudentIAF.generate — flow stacks
+    via the config's fused_layers mode, heads/z-updates in XLA).
 
-    flow_backend: "module" (StudentIAF.generate — flow stacks via the
-    config's fused_layers mode, heads/z-updates in XLA) or "chain"
-    (ops/pallas/flow_chain.py — front+stack+head+z-update fused into ONE
-    pallas_call per flow; z is the only inter-flow HBM traffic).
+    A fused whole-flow "chain" backend (front+stack+head+z-update in one
+    pallas_call per flow) existed through round 2; it was removed in
+    round 3 when its mandatory batch-block of 8 was found to hit a
+    Mosaic per-row miscompile on v5e (BASELINE.md round-3 notes) — and
+    it never beat this path (parity at student_iaf, ~9% slower at
+    config[4]).
     """
     model = make_student(cfg)
-    if flow_backend == "chain":
-        wav = student_chain_generate(
-            cfg, student_params, mel, key, temperature=temperature
-        )
-    else:
-        wav = model.apply(
-            {"params": student_params}, key, mel, method="generate",
-            temperature=temperature,
-        )
+    wav = model.apply(
+        {"params": student_params}, key, mel, method="generate",
+        temperature=temperature,
+    )
     wav = dsp.deemphasis(wav, cfg.dsp.preemphasis)
     return np.asarray(wav[0])
-
-
-def student_chain_generate(
-    cfg: Config,
-    student_params: Any,
-    mel: jax.Array,
-    key: jax.Array,
-    temperature: float = 1.0,
-) -> jax.Array:
-    """The fused-chain student path: upsample cond via the module, then
-    apply every flow with the whole-tail Pallas kernel.  Matches
-    `StudentIAF.generate` numerically (same z stream, same math)."""
-    from pwn_tpu.models.student import _match_length
-    from pwn_tpu.ops import mol
-    from pwn_tpu.ops.pallas.flow_chain import chain_flows_from_z
-
-    model = make_student(cfg)
-    hop = cfg.dsp.hop_length
-    B, F = mel.shape[0], mel.shape[1]
-    z = mol.sample_logistic(key, (B, F * hop)) * temperature
-    cond = model.apply(
-        {"params": student_params}, mel, method="upsample_cond"
-    )
-    cond = _match_length(cond, z.shape[-1])
-    return chain_flows_from_z(
-        student_params, z, cond,
-        dilations=tuple(cfg.student.flow_dilations),
-        clamp=cfg.student.log_scale_clamp,
-    )
 
 
 @functools.lru_cache(maxsize=8)

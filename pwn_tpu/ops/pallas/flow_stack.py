@@ -46,6 +46,44 @@ from pwn_tpu.ops.pallas.gated_layer import TIME_TILE
 FLOW_TILE = int(os.environ.get("PWN_TPU_FLOW_TILE", str(TIME_TILE)))
 
 
+def _hist_budget_bytes() -> int:
+    """VMEM budget for the (L, bb, tile, C) dilation-history scratch —
+    sets the batch block bb. Env-overridable for kernel experiments
+    (read at trace time)."""
+    return int(
+        float(os.environ.get("PWN_TPU_MEGA_HIST_MB", "4")) * 1024 * 1024
+    )
+
+
+# Batch blocks above 4 MISCOMPILE on the Mosaic backend: at bb=8 the
+# kernel's output diverges from the fp32 reference by ~1.1 on values
+# bounded by ~4, while bb<=4 matches at bf16 accumulation level (0.017)
+# and interpret mode is bit-identical across bb — measured on v5e for
+# every (grid0, C, tile) combination probed (r3 session 2: C=32/64,
+# grid0=1/2, tile=512/1024; tools/r3s2_mega_tune.py + /tmp probes).
+# Presets never resolved bb>4, but small-channel models (C<=32) would
+# have under the 4 MB default budget. Clamp until the Mosaic bug is
+# understood.
+MAX_BATCH_BLOCK = 4
+
+
+def _pick_bb(B: int, per_row_bytes: int, budget: int) -> int:
+    """Largest divisor of B, at most MAX_BATCH_BLOCK, whose history
+    footprint bb*per_row_bytes fits the budget."""
+    bb = min(B, MAX_BATCH_BLOCK)
+    while bb > 1 and bb * per_row_bytes > budget:
+        bb //= 2
+    while B % bb:
+        bb -= 1
+    return bb
+
+
+def _act_bf16() -> bool:
+    """Compute the gate tanh/sigmoid in the kernel's compute dtype
+    instead of fp32 (experiment knob; read at trace time)."""
+    return os.environ.get("PWN_TPU_MEGA_ACT_BF16", "0") == "1"
+
+
 def _kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref, b_rs_ref,
             skip_ref, hist, *, dilations: Sequence[int],
             C: int, S: int, tile: int, bb: int):
@@ -66,6 +104,7 @@ def _kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref, b_rs_ref,
     x = x0_ref[...]        # (bb, TT, C) compute dtype
     cond_t = cond_ref[...]  # (bb, TT, M)
     skip_acc = jnp.zeros((bb, tile, S), f32)
+    act_dt = x.dtype if _act_bf16() else f32
 
     for l, d in enumerate(dilations):
         prev = hist[l]     # (bb, TT, C): this layer's input at tile i-1
@@ -82,7 +121,7 @@ def _kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref, b_rs_ref,
             jnp.dot(cat.reshape(bb * tile, -1), w_in_ref[l],
                     preferred_element_type=f32)
             + b_g_ref[l].astype(f32)
-        )
+        ).astype(act_dt)
         half = g.shape[-1] // 2
         z = (jnp.tanh(g[:, :half]) * jax.nn.sigmoid(g[:, half:])).astype(
             x.dtype
@@ -166,13 +205,10 @@ def _flow_stack_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
     w_out = w_out.astype(dt)
 
     # batch-block size: largest divisor of B whose history fits ~4 MB of
-    # VMEM (leaving room for the resident weights + pipeline buffers)
-    hist_budget = 4 * 1024 * 1024
-    bb = B
-    while bb > 1 and L * bb * tile * C * x0.dtype.itemsize > hist_budget:
-        bb //= 2
-    while B % bb:
-        bb -= 1
+    # VMEM (leaving room for the resident weights + pipeline buffers),
+    # clamped to MAX_BATCH_BLOCK (bb=8 miscompiles — see above)
+    bb = _pick_bb(B, L * tile * C * x0.dtype.itemsize,
+                  _hist_budget_bytes())
 
     grid = (B // bb, Tp // tile)
     tmap = lambda b, i: (b, i, 0)  # noqa: E731
@@ -202,6 +238,11 @@ def _flow_stack_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
             flops=2 * B * Tp * L * (K_in * G + (G // 2) * (C + S)),
             bytes_accessed=B * Tp * (2 * C + M + S) * x0.dtype.itemsize,
             transcendentals=B * Tp * L * G,
+        ),
+        # large-history experiment layouts exceed the 16 MB default
+        # scoped-vmem cap; v5e has 128 MB (see the backward's note)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x0, cond, w_in, b_g.astype(jnp.float32), w_out,
@@ -528,13 +569,10 @@ def _flow_stack_train_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
     w_in = w_in.astype(dt)
     w_out = w_out.astype(dt)
 
-    hist_budget = 4 * 1024 * 1024
-    bb = B
-    # hist scratch + the acts output block both hold (L, bb, tile, C)
-    while bb > 1 and 2 * L * bb * tile * C * x0.dtype.itemsize > hist_budget:
-        bb //= 2
-    while B % bb:
-        bb -= 1
+    # hist scratch + the acts output block both hold (L, bb, tile, C);
+    # bb clamped to MAX_BATCH_BLOCK (bb=8 miscompiles — see above)
+    bb = _pick_bb(B, 2 * L * tile * C * x0.dtype.itemsize,
+                  _hist_budget_bytes())
 
     grid = (B // bb, Tp // tile)
     tmap = lambda b, i: (b, i, 0)  # noqa: E731
@@ -606,7 +644,8 @@ def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize,
 
     divisors = [d for d in range(L, 0, -1) if L % d == 0]
     for Lc in divisors:
-        bb = B
+        # same bb>4 Mosaic-miscompile clamp as the forward (MAX_BATCH_BLOCK)
+        bb = min(B, MAX_BATCH_BLOCK)
         while bb > 1 and vmem(Lc, bb) > budget:
             bb //= 2
         while B % bb:

@@ -261,3 +261,34 @@ def test_mega_fallback_to_layer_kernel(rng, monkeypatch):
         np.asarray(out_fallback), np.asarray(out_off),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_batch_block_clamped_to_four(monkeypatch):
+    """bb > 4 miscompiles on the Mosaic backend (r3 session 2: per-row
+    O(1) divergence from the fp32 reference at bb=8 for every probed
+    (C, grid0, tile); interpret mode is bit-exact across bb).  Every
+    layout chooser must clamp, even when the budget would allow more."""
+    from pwn_tpu.ops.pallas import flow_stack as fs
+
+    monkeypatch.setenv("PWN_TPU_MEGA_HIST_MB", "1024")
+    assert fs._pick_bb(8, per_row_bytes=1, budget=2**30) == 4
+    assert fs._pick_bb(16, per_row_bytes=1, budget=2**30) == 4
+    assert fs._pick_bb(2, per_row_bytes=1, budget=2**30) == 2
+    # non-divisor fallback still lands on a divisor of B
+    assert fs._pick_bb(6, per_row_bytes=1, budget=2**30) == 3
+    # backward chunk layout obeys the same clamp
+    lc, bb = fs._bwd_chunk_layout(
+        L=4, B=16, tile=512, C=8, M=8, S=8, K_in=24, G=16, itemsize=2
+    )
+    assert bb <= fs.MAX_BATCH_BLOCK
+
+
+def test_flow_stack_bb_independent(rng, monkeypatch):
+    """Kernel math must not depend on the batch-block layout: a huge
+    history budget (different bb, clamped at 4) gives bit-identical
+    output in interpret mode."""
+    args, dils = _setup(rng, B=8, T=1024)
+    base = fused_flow_stack(**args, dilations=dils)
+    monkeypatch.setenv("PWN_TPU_MEGA_HIST_MB", "1024")
+    big = fused_flow_stack(**args, dilations=dils)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(big))
