@@ -377,7 +377,7 @@ def teacher_fwd_flops_per_sample(cfg: Config) -> float:
     tc = cfg.teacher
     macs = _stack_macs_per_sample(
         tc.residual_channels, tc.gate_channels, tc.skip_channels,
-        cfg.dsp.n_mels, tc.n_layers, out_dim=3 * tc.n_mixtures,
+        cfg.dsp.n_mels, tc.n_layers, out_dim=tc.head_dim,
     ) + _upsample_macs_per_sample(cfg)
     return 2.0 * macs
 

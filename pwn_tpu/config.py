@@ -63,6 +63,12 @@ class TeacherConfig:
     gate_channels: int = 256  # split into tanh/sigmoid halves
     skip_channels: int = 128
     n_mixtures: int = 10  # mixture-of-logistics components
+    # Output family: "mol" (discretized mixture of logistics, the
+    # reference head [R]) or "gaussian" (single-Gaussian head — enables
+    # the ClariNet closed-form distillation KL, ops/gaussian.py; the
+    # trunk and all Pallas kernels are shared, only the 2-unit XLA head
+    # and the loss change)
+    output: str = "mol"
     # Mel upsampling: product of strides must equal DSPConfig.hop_length.
     upsample_strides: Tuple[int, ...] = (16, 16)
     upsample_kernel_mult: int = 2  # kernel = stride * mult per stage
@@ -84,6 +90,11 @@ class TeacherConfig:
     @property
     def n_layers(self) -> int:
         return self.n_blocks * self.layers_per_block
+
+    @property
+    def head_dim(self) -> int:
+        """Output-head width: 3K MoL params or (mu, log_s)."""
+        return 2 if self.output == "gaussian" else 3 * self.n_mixtures
 
     @property
     def dilations(self) -> Tuple[int, ...]:
@@ -113,6 +124,11 @@ class StudentConfig:
     log_scale_clamp: float = 7.0  # |log s| clamp for stability
     compute_dtype: str = "bfloat16"
     fused_layers: str = "auto"  # see TeacherConfig.fused_layers
+    # Base-noise family: "logistic" (Parallel WaveNet [PW], the default
+    # pinned by the goldens) or "gaussian" (ClariNet: the affine flow
+    # chain then makes every per-timestep output conditional exactly
+    # N(mu_total, exp(log_det)^2), enabling the closed-form distill KL)
+    base: str = "logistic"
 
     @property
     def flow_dilations(self) -> Tuple[int, ...]:
@@ -141,6 +157,16 @@ class DistillConfig:
     # lets the power loss anchor the student before reverse-KL mode-
     # seeking kicks in (whisper-collapse mitigation, SURVEY.md §7)
     kl_warmup_steps: int = 0
+    # KL estimator: "auto" (closed_form when teacher.output and
+    # student.base are both gaussian, else sampled), "sampled" (Parallel
+    # WaveNet pathwise one-sample estimate [PW]) or "closed_form"
+    # (ClariNet exact per-timestep Gaussian KL — requires the gaussian
+    # teacher head AND gaussian student base; ops/gaussian.py)
+    objective: str = "auto"
+    # closed_form only: ClariNet's variance regularizer weight lambda on
+    # |log sigma_T - log sigma_S|^2 (stabilizes the reverse KL's flat
+    # gradient when the student variance collapses; paper uses 4)
+    log_sigma_reg_weight: float = 4.0
 
 
 @dataclass(frozen=True)
@@ -287,12 +313,30 @@ def _large_student_sharded() -> Config:
     )
 
 
+def _clarinet_gaussian() -> Config:
+    """Beyond-reference preset: ClariNet-style single-Gaussian teacher +
+    Gaussian-base student with the exact closed-form distillation KL
+    (ops/gaussian.py; arXiv:1807.07281).  Same trunk/sizes as
+    `student_iaf` so kernel perf carries over; only the 2-unit head,
+    the base noise, and the objective differ."""
+    return Config(
+        name="clarinet_gaussian",
+        dsp=DSPConfig(),
+        teacher=TeacherConfig(output="gaussian"),
+        student=StudentConfig(base="gaussian"),
+        distill=DistillConfig(objective="closed_form"),
+        train=TrainConfig(global_batch_size=8, crop_samples=16384,
+                          learning_rate=5e-4),
+    )
+
+
 _PRESETS = {
     "tiny_teacher": _tiny_teacher,
     "teacher_lj": _teacher_lj,
     "student_iaf": _student_iaf,
     "multihost_dp": _multihost_dp,
     "large_student_sharded": _large_student_sharded,
+    "clarinet_gaussian": _clarinet_gaussian,
 }
 
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from pwn_tpu.config import Config
 from pwn_tpu.models import sampling
-from pwn_tpu.models.student import make_student
+from pwn_tpu.models.student import make_student, sample_base_noise
 from pwn_tpu.models.teacher import make_teacher
 from pwn_tpu.utils import dsp
 
@@ -116,7 +116,6 @@ def stream_student_chunks(
 
     Yields (B, chunk_frames * hop) float32 numpy chunks.
     """
-    from pwn_tpu.ops import mol
     from pwn_tpu.parallel.sp import _sp_mega_geometry
 
     hop = cfg.dsp.hop_length
@@ -155,8 +154,8 @@ def stream_student_chunks(
         for b in range(ws // CT, (ws + WT - 1) // CT + 1):
             if b not in z_blocks:
                 z_blocks[b] = (
-                    mol.sample_logistic(jax.random.fold_in(key, b),
-                                        (B, CT)) * temperature
+                    sample_base_noise(cfg, jax.random.fold_in(key, b),
+                                      (B, CT)) * temperature
                 )
             parts.append(z_blocks[b])
         full = jnp.concatenate(parts, axis=1)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from pwn_tpu.config import Config
 from pwn_tpu.models.teacher import TeacherWaveNet, _match_length
-from pwn_tpu.ops import mol
+from pwn_tpu.ops import gaussian, mol
 
 
 def _stack_params(variables: Dict[str, Any]) -> Dict[str, Any]:
@@ -82,6 +82,19 @@ def draw_uniforms(key: jax.Array, T: int, B: int, K: int) -> jax.Array:
     )
 
 
+def draw_normals(key: jax.Array, T: int, B: int) -> jax.Array:
+    """The (T, B, 1) N(0,1) stream both AR backends consume for the
+    gaussian teacher head (teacher.output="gaussian")."""
+    return jax.random.normal(key, (T, B, 1))
+
+
+def draw_noise(cfg: Config, key: jax.Array, T: int, B: int) -> jax.Array:
+    """Pre-drawn per-step noise stream for the configured head."""
+    if cfg.teacher.output == "gaussian":
+        return draw_normals(key, T, B)
+    return draw_uniforms(key, T, B, cfg.teacher.n_mixtures)
+
+
 def fast_sample(
     model: TeacherWaveNet,
     variables,
@@ -95,9 +108,12 @@ def fast_sample(
     Jit-compiled end to end; the sequential dependency is expressed as one
     `lax.scan` whose body XLA compiles once.
 
-    If `uniforms` (T, B, K+1) is given, sampling consumes that stream via
-    `mol_sample_from_uniforms` (bit-comparable with the Pallas backend);
-    otherwise per-step randomness is fold_in(key, t).
+    If `uniforms` is given, sampling consumes that pre-drawn stream —
+    (T, B, K+1) uniforms via `mol_sample_from_uniforms` for the MoL head,
+    (T, B, 1) standard normals via `gaussian.sample_from_normals` for the
+    gaussian head (`draw_noise` builds the right one) — bit-comparable
+    with the Pallas backend; otherwise per-step randomness is
+    fold_in(key, t).
     """
     cfg: Config = model.config
     tc = cfg.teacher
@@ -170,10 +186,21 @@ def fast_sample(
             skip = skip + z @ lp["skip_k"] + lp["skip_b"]
         hh = jax.nn.relu(skip)
         hh = jax.nn.relu(hh @ head1_k + head1_b)
-        params_t = hh @ head2_k + head2_b  # (B, 3K)
-        if uniforms is not None:
+        params_t = hh @ head2_k + head2_b  # (B, head_dim)
+        if uniforms is not None and tc.output == "gaussian":
+            x_t = gaussian.sample_from_normals(
+                params_t, inp[2][:, 0], tc.log_scale_min, temperature
+            )
+        elif uniforms is not None:
             x_t = mol_sample_from_uniforms(
                 params_t, inp[2], tc.log_scale_min, temperature
+            )
+        elif tc.output == "gaussian":
+            x_t = gaussian.sample_from_gaussian(
+                jax.random.fold_in(key, t),
+                params_t,
+                log_scale_min=tc.log_scale_min,
+                temperature=temperature,
             )
         else:
             x_t = mol.sample_from_mol(
@@ -214,17 +241,18 @@ def fast_sample_pallas(
         interpret = jax.default_backend() == "cpu"
 
     cond = teacher_cond(model, variables, mel, T)  # (B, T, M)
-    uniforms = draw_uniforms(key, T, B, tc.n_mixtures)
+    noise = draw_noise(cfg, key, T, B)
     weights = stack_teacher_weights(
         _stack_params(variables), tc.n_layers,
         dtype=jnp.dtype(tc.compute_dtype),
     )
     return ar_sample_pallas(
         cond,
-        uniforms,
+        noise,
         weights,
         dilations=tc.dilations,
         n_mixtures=tc.n_mixtures,
+        head=tc.output,
         log_scale_min=tc.log_scale_min,
         temperature=temperature,
         interpret=interpret,
@@ -250,11 +278,17 @@ def naive_sample(
     cond = teacher_cond(model, variables, mel, T)
     wav = jnp.zeros((B, T), jnp.float32)
 
+    sample_one = (
+        gaussian.sample_from_gaussian
+        if cfg.teacher.output == "gaussian"
+        else mol.sample_from_mol
+    )
+
     @jax.jit
     def one_step(wav, t):
         params = model.apply(variables, wav, cond,
                              method="params_from_cond")
-        x_t = mol.sample_from_mol(
+        x_t = sample_one(
             jax.random.fold_in(key, t),
             params[:, t],
             log_scale_min=cfg.teacher.log_scale_min,

@@ -33,17 +33,31 @@ from pwn_tpu.ops import mol
 from pwn_tpu.ops.conv import shift_right
 
 
+def sample_base_noise(cfg: Config, key: jax.Array, shape) -> jax.Array:
+    """Draw student base noise per `student.base`: Logistic(0,1) (Parallel
+    WaveNet default [PW]) or N(0,1) (ClariNet closed-form family).  Shared
+    by every generation entry (StudentIAF.generate, the shard_map batch/SP
+    paths in parallel/tp.py + parallel/sp.py, streaming in generate.py) so
+    sharded and streaming outputs stay bit-comparable with the whole-call
+    generate on one key."""
+    if cfg.student.base == "gaussian":
+        return jax.random.normal(key, shape, jnp.float32)
+    return mol.sample_logistic(key, shape)
+
+
 class StudentOutput(NamedTuple):
     wav: jax.Array        # (B, T) synthesized waveform
     log_det: jax.Array    # (B, T) sum_i log s_i[t]
-    log_p_base: jax.Array  # (B, T) log Logistic(0,1) density of z_0
+    log_p_base: jax.Array  # (B, T) base log-density of z_0 (see base)
     mu_last: jax.Array    # (B, T) final flow's mu (diagnostics)
     # (B, T) total affine offset M[t]: the flow chain is elementwise affine
     # in the base noise given the causal context, x[t] = S[t]*z0[t] + M[t]
-    # with S = exp(log_det).  Since z0 ~ Logistic(0,1), the per-timestep
-    # output conditional is exactly Logistic(mu_total, exp(log_det)) —
-    # the closed-form density direct student training maximizes at the
-    # ground-truth waveform (training/student_direct.py).
+    # with S = exp(log_det).  The per-timestep output conditional is thus
+    # exactly base(mu_total, exp(log_det)) — Logistic for the default
+    # base, N for student.base="gaussian" — the closed form direct
+    # student training maximizes at the ground truth
+    # (training/student_direct.py) and the ClariNet closed-form KL
+    # compares against the Gaussian teacher (training/distill.py).
     mu_total: jax.Array
 
     @property
@@ -98,9 +112,16 @@ class StudentIAF(nn.Module):
     def transform(self, z: jax.Array, cond: jax.Array) -> StudentOutput:
         clamp = self.config.student.log_scale_clamp
         z = z.astype(jnp.float32)
-        log_p_base = mol.logistic_log_density(
-            z, jnp.zeros_like(z), jnp.zeros_like(z)
-        )
+        if self.config.student.base == "gaussian":
+            from pwn_tpu.ops import gaussian
+
+            log_p_base = gaussian.gaussian_log_density(
+                z, jnp.zeros_like(z), jnp.zeros_like(z)
+            )
+        else:
+            log_p_base = mol.logistic_log_density(
+                z, jnp.zeros_like(z), jnp.zeros_like(z)
+            )
         log_det = jnp.zeros_like(z)
         mu = jnp.zeros_like(z)
         mu_total = jnp.zeros_like(z)
@@ -127,7 +148,7 @@ class StudentIAF(nn.Module):
         """
         hop = self.config.dsp.hop_length
         B, F = mel.shape[0], mel.shape[1]
-        z = mol.sample_logistic(key, (B, F * hop)) * temperature
+        z = sample_base_noise(self.config, key, (B, F * hop)) * temperature
         cond = self.upsample(mel)
         cond = _match_length(cond, z.shape[-1])
         return self.flows_from_z(z, cond)

@@ -24,11 +24,14 @@ from pwn_tpu.ops import mol
 
 
 class TeacherWaveNet(nn.Module):
-    """p(x_t | x_<t, mel) with a discretized-MoL head.
+    """p(x_t | x_<t, mel) with a discretized-MoL head (default) or a
+    single-Gaussian head (`teacher.output="gaussian"`, ClariNet-style —
+    enables the closed-form distillation KL, ops/gaussian.py).
 
     __call__(wav, mel) runs the teacher-forcing pass and returns per-step
-    MoL params (B, T, 3*n_mixtures); `condition(mel)` exposes the upsampled
-    conditioning for the AR sampling loop.
+    head params (B, T, head_dim: 3*n_mixtures MoL or 2 Gaussian);
+    `condition(mel)` exposes the upsampled conditioning for the AR
+    sampling loop.
     """
 
     config: Config
@@ -51,7 +54,7 @@ class TeacherWaveNet(nn.Module):
             residual_channels=tc.residual_channels,
             gate_channels=tc.gate_channels,
             skip_channels=tc.skip_channels,
-            out_dim=3 * tc.n_mixtures,
+            out_dim=tc.head_dim,
             kernel_size=tc.kernel_size,
             dtype=dtype,
             fused=resolve_stack_mode(tc.fused_layers) == "layer",
@@ -81,10 +84,18 @@ class TeacherWaveNet(nn.Module):
         return self.params_from_cond(wav, cond)
 
     def loss(self, wav: jax.Array, mel: jax.Array) -> jax.Array:
-        """Mean discretized-MoL NLL (nats/sample), fp32."""
+        """Mean teacher-forcing NLL (nats/sample), fp32: discretized MoL
+        or continuous single-Gaussian per `teacher.output`."""
         params = self(wav, mel)
+        tc = self.config.teacher
+        if tc.output == "gaussian":
+            from pwn_tpu.ops import gaussian
+
+            return gaussian.gaussian_nll(
+                wav, params, log_scale_min=tc.log_scale_min
+            )
         return mol.discretized_mol_loss(
-            wav, params, log_scale_min=self.config.teacher.log_scale_min
+            wav, params, log_scale_min=tc.log_scale_min
         )
 
 

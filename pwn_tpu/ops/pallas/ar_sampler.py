@@ -24,6 +24,12 @@ Per step: front 1x1 -> L x [queue pop/push; one (B, 2C+M)x(2C+M, G) gate
 GEMM on concat(x, tap, cond); gated unit; one (B, G/2)x(G/2, C+S) output
 GEMM] -> relu/1x1 head -> MoL Gumbel-max + logistic sample -> feeds step
 t+1 through the x_prev scratch.
+
+Two output heads share the loop (static `head` switch; the trunk math is
+identical): "mol" consumes (T, B, K+1) uniforms (K Gumbel-max + 1
+logistic inverse-CDF draw), "gaussian" (teacher.output="gaussian",
+ClariNet family — ops/gaussian.py) consumes (T, B, 1) pre-drawn standard
+normals and emits mu + exp(log_s)*temperature*eps.
 """
 
 from __future__ import annotations
@@ -51,8 +57,8 @@ def _kernel(
     b_rs_ref,      # (L, C+S)
     head1_k_ref,   # (S, S)
     head1_b_ref,   # (1, S)
-    head2_k_ref,   # (S, 3K)
-    head2_b_ref,   # (1, 3K)
+    head2_k_ref,   # (S, head_dim): 3K mol / 2 gaussian
+    head2_b_ref,   # (1, head_dim)
     # output
     wav_ref,       # (1, 1, B) — trailing two dims match the full array
     # scratch
@@ -64,6 +70,7 @@ def _kernel(
     C: int,
     S: int,
     K: int,
+    head: str,
     log_scale_min: float,
     temperature: float,
 ):
@@ -114,29 +121,36 @@ def _kernel(
         + head1_b_ref[0].astype(f32),
         0.0,
     )
-    mol_p = (
+    head_p = (
         jnp.dot(h, head2_k_ref[:].astype(f32), preferred_element_type=f32)
         + head2_b_ref[0].astype(f32)
-    )  # (B, 3K)
+    )  # (B, head_dim)
 
-    logits = mol_p[:, :K]
-    means = mol_p[:, K : 2 * K]
-    log_s = jnp.maximum(mol_p[:, 2 * K :], log_scale_min)
+    u = unif_ref[0].astype(f32)  # (B, K+1) uniforms / (B, 1) normals
+    if head == "gaussian":
+        # single-Gaussian head (ops/gaussian.py::sample_from_normals):
+        # the stream carries pre-drawn standard normals
+        mean = head_p[:, 0]
+        ls = jnp.maximum(head_p[:, 1], log_scale_min)
+        x_t = mean + jnp.exp(ls) * temperature * u[:, 0]
+    else:
+        logits = head_p[:, :K]
+        means = head_p[:, K : 2 * K]
+        log_s = jnp.maximum(head_p[:, 2 * K :], log_scale_min)
 
-    u = unif_ref[0].astype(f32)  # (B, K+1)
-    gumbel = -jnp.log(-jnp.log(u[:, :K]))
-    scores = logits + gumbel
-    best = jnp.max(scores, axis=-1, keepdims=True)
-    onehot = (scores >= best).astype(f32)
-    # guard against (measure-zero) ties: renormalize the indicator
-    onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
-    mean = jnp.sum(means * onehot, axis=-1)
-    ls = jnp.sum(log_s * onehot, axis=-1)
+        gumbel = -jnp.log(-jnp.log(u[:, :K]))
+        scores = logits + gumbel
+        best = jnp.max(scores, axis=-1, keepdims=True)
+        onehot = (scores >= best).astype(f32)
+        # guard against (measure-zero) ties: renormalize the indicator
+        onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
+        mean = jnp.sum(means * onehot, axis=-1)
+        ls = jnp.sum(log_s * onehot, axis=-1)
 
-    ul = u[:, K]
-    x_t = mean + jnp.exp(ls) * temperature * (
-        jnp.log(ul) - jnp.log1p(-ul)
-    )
+        ul = u[:, K]
+        x_t = mean + jnp.exp(ls) * temperature * (
+            jnp.log(ul) - jnp.log1p(-ul)
+        )
     x_t = jnp.clip(x_t, -1.0, 1.0)
 
     wav_ref[0, 0] = x_t
@@ -187,16 +201,17 @@ def stack_teacher_weights(stack_params: Dict[str, Any], n_layers: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilations", "n_mixtures", "log_scale_min",
+    static_argnames=("dilations", "n_mixtures", "head", "log_scale_min",
                      "temperature", "interpret"),
 )
 def ar_sample_pallas(
     cond: jax.Array,       # (B, T, M) upsampled conditioning
-    uniforms: jax.Array,   # (T, B, K+1) pre-drawn uniforms in (0, 1)
+    uniforms: jax.Array,   # (T, B, K+1) uniforms / (T, B, 1) normals
     weights: Dict[str, jax.Array],  # from stack_teacher_weights
     *,
     dilations: tuple,
     n_mixtures: int,
+    head: str = "mol",
     log_scale_min: float = -9.0,
     temperature: float = 1.0,
     interpret: bool = False,
@@ -224,13 +239,14 @@ def ar_sample_pallas(
             C=C,
             S=S,
             K=K,
+            head=head,
             log_scale_min=log_scale_min,
             temperature=temperature,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, B, M), step_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, K + 1), step_map,
+            pl.BlockSpec((1, B, uniforms.shape[-1]), step_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(weights["front_k"].shape, full2,
                          memory_space=pltpu.VMEM),

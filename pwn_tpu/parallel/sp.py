@@ -156,10 +156,8 @@ def make_sp_generate_mega(student: StudentIAF, cfg: Config, mesh: Mesh,
     targets).  Output == the unsharded `generate` up to kernel-vs-XLA
     accumulation order.
     """
-    from pwn_tpu.ops import mol
-
     del student  # the sharded path builds its own module from cfg
-    from pwn_tpu.models.student import make_student
+    from pwn_tpu.models.student import make_student, sample_base_noise
 
     smodel = make_student(cfg)
     hop = cfg.dsp.hop_length
@@ -185,7 +183,7 @@ def make_sp_generate_mega(student: StudentIAF, cfg: Config, mesh: Mesh,
         WT = R + shard_T
         WF = WT // hop + 2 * H
 
-        z_full = mol.sample_logistic(key, (B, T)) * temperature
+        z_full = sample_base_noise(cfg, key, (B, T)) * temperature
         start = idx * shard_T
         window_start = jnp.where(idx == 0, 0, start - R)
         z_win = jax.lax.dynamic_slice_in_dim(z_full, window_start, WT,

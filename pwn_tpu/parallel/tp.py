@@ -107,8 +107,7 @@ def make_batch_sharded_generate(cfg, temperature: float = 1.0,
     Returns `(variables, key, mel) -> wav` with mel/wav batch-sharded
     over ("data", "model") jointly.  B must divide the device count.
     """
-    from pwn_tpu.models.student import make_student
-    from pwn_tpu.ops import mol
+    from pwn_tpu.models.student import make_student, sample_base_noise
 
     student = make_student(cfg)
     axes = ("data", "model")
@@ -120,7 +119,9 @@ def make_batch_sharded_generate(cfg, temperature: float = 1.0,
         T = F * cfg.dsp.hop_length
         # identical global draw on every shard, then slice this shard's
         # rows -> bitwise-stable vs the unsharded generate
-        z_global = mol.sample_logistic(key, (B_local * n, T)) * temperature
+        z_global = sample_base_noise(
+            cfg, key, (B_local * n, T)
+        ) * temperature
         z = jax.lax.dynamic_slice_in_dim(
             z_global, idx * B_local, B_local, axis=0
         )

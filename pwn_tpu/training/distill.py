@@ -31,9 +31,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pwn_tpu.config import Config
-from pwn_tpu.models.student import StudentIAF
+from pwn_tpu.models.student import StudentIAF, sample_base_noise
 from pwn_tpu.models.teacher import TeacherWaveNet
-from pwn_tpu.ops import mol
+from pwn_tpu.ops import gaussian, mol
 from pwn_tpu.parallel.mesh import batch_sharding, replicated
 from pwn_tpu.training.common import TrainState, global_norm, update_ema
 from pwn_tpu.training.teacher import prepare_batch
@@ -56,6 +56,34 @@ def spectral_power_loss(x_s: jax.Array, x_ref: jax.Array,
         mag_r = dsp.stft_magnitude(x_ref, n_fft, hop, win)
         total = total + jnp.mean(jnp.square(mag_s - mag_r))
     return total / len(resolutions)
+
+
+def resolve_objective(cfg: Config) -> str:
+    """Resolve distill.objective to "sampled" | "closed_form".
+
+    "sampled" (Parallel WaveNet [PW]): one-z pathwise estimate of
+    E[log p_S - log p_T]; works with ANY (teacher.output, student.base)
+    pair.  "closed_form" (ClariNet, arXiv:1807.07281): exact per-timestep
+    Gaussian KL — requires teacher.output="gaussian" AND
+    student.base="gaussian" (the affine flow then makes the student's
+    conditional exactly N(mu_total, exp(log_det)^2)).
+    """
+    obj = cfg.distill.objective
+    is_gg = (
+        cfg.teacher.output == "gaussian"
+        and cfg.student.base == "gaussian"
+    )
+    if obj == "auto":
+        return "closed_form" if is_gg else "sampled"
+    if obj == "closed_form" and not is_gg:
+        raise ValueError(
+            "distill.objective='closed_form' requires "
+            "teacher.output='gaussian' and student.base='gaussian' "
+            f"(got {cfg.teacher.output!r}/{cfg.student.base!r})"
+        )
+    if obj not in ("sampled", "closed_form"):
+        raise ValueError(f"unknown distill.objective {obj!r}")
+    return obj
 
 
 def kl_weight_at(cfg: Config, step) -> jax.Array:
@@ -85,27 +113,51 @@ def distillation_losses(
     """Total distillation loss + metrics for one batch (model domain)."""
     teacher_params = jax.lax.stop_gradient(teacher_params)
     dc = cfg.distill
+    objective = resolve_objective(cfg)
 
     def one_sample(k):
-        z = mol.sample_logistic(k, x_ref.shape)
+        z = sample_base_noise(cfg, k, x_ref.shape)
         out = student.apply({"params": student_params}, z, mel)
         x_s = out.wav
         t_out = teacher.apply({"params": teacher_params}, x_s, mel)
-        log_p_t = mol.mol_log_density(
-            x_s, t_out, cfg.teacher.log_scale_min
-        )  # (B, T)
-        log_p_s = out.log_p_student  # (B, T)
-        kl = jnp.mean(log_p_s - log_p_t)  # nats / sample-step
+        if objective == "closed_form":
+            # ClariNet: q = N(mu_total, exp(log_det)^2) — the student's
+            # exact conditional given its own causal sample path — vs the
+            # teacher conditional p = N(mu_T, s_T^2) at that same path.
+            # Gradients flow pathwise through x_s into BOTH sides.
+            mu_t, log_s_t = gaussian.split_params(t_out)
+            log_s_t = jnp.maximum(log_s_t, cfg.teacher.log_scale_min)
+            kl_t = gaussian.kl_gaussian(
+                out.mu_total, out.log_det, mu_t, log_s_t
+            )
+            kl = jnp.mean(kl_t)
+            reg = jnp.mean(jnp.square(log_s_t - out.log_det))
+            ent = jnp.mean(-out.log_p_student)
+            xent = kl + ent  # E_q[-log p] = KL + H(q), both exact here
+        else:
+            if cfg.teacher.output == "gaussian":
+                mu_t, log_s_t = gaussian.split_params(t_out)
+                log_s_t = jnp.maximum(log_s_t, cfg.teacher.log_scale_min)
+                log_p_t = gaussian.gaussian_log_density(x_s, mu_t, log_s_t)
+            else:
+                log_p_t = mol.mol_log_density(
+                    x_s, t_out, cfg.teacher.log_scale_min
+                )  # (B, T)
+            log_p_s = out.log_p_student  # (B, T)
+            kl = jnp.mean(log_p_s - log_p_t)  # nats / sample-step
+            reg = jnp.float32(0)
+            ent = jnp.mean(-log_p_s)
+            xent = jnp.mean(-log_p_t)
         power = spectral_power_loss(x_s, x_ref, cfg)
-        return kl, power, jnp.mean(-log_p_s), jnp.mean(-log_p_t)
+        return kl, reg, power, ent, xent
 
     # static python loop over the (small) sample count — a vmap here
     # produces batched-FFT layouts XLA:CPU's fft thunk rejects when the
     # batch is sharded, and n_kl_samples is 1-4 anyway.
     keys = jax.random.split(key, dc.n_kl_samples)
     acc = [one_sample(keys[i]) for i in range(dc.n_kl_samples)]
-    kl, power, ent, xent = (
-        sum(t[i] for t in acc) / dc.n_kl_samples for i in range(4)
+    kl, reg, power, ent, xent = (
+        sum(t[i] for t in acc) / dc.n_kl_samples for i in range(5)
     )
     total = kl_weight_at(cfg, step) * kl + dc.power_loss_weight * power
     metrics = {
@@ -115,6 +167,14 @@ def distillation_losses(
         "student_entropy": ent,
         "teacher_xent": xent,
     }
+    if objective == "closed_form":
+        # ClariNet's variance regularizer rides the same warmup ramp as
+        # the KL it stabilizes
+        total = total + kl_weight_at(cfg, step) * (
+            dc.log_sigma_reg_weight * reg
+        )
+        metrics["loss"] = total
+        metrics["log_sigma_reg"] = reg
     return total, metrics
 
 

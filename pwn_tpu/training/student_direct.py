@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pwn_tpu.config import Config
-from pwn_tpu.models.student import StudentIAF
-from pwn_tpu.ops import mol
+from pwn_tpu.models.student import StudentIAF, sample_base_noise
+from pwn_tpu.ops import gaussian, mol
 from pwn_tpu.parallel.mesh import batch_sharding, replicated
 from pwn_tpu.training.common import TrainState, global_norm, update_ema
 from pwn_tpu.training.distill import spectral_power_loss
@@ -50,10 +50,18 @@ def direct_student_losses(
     dc = cfg.distill
 
     def one_sample(k):
-        z = mol.sample_logistic(k, x_ref.shape)
+        z = sample_base_noise(cfg, k, x_ref.shape)
         out = student.apply({"params": params}, z, mel)
-        # closed-form output conditional Logistic(mu_total, exp(log_det))
-        log_p = mol.logistic_log_density(x_ref, out.mu_total, out.log_det)
+        # closed-form output conditional base(mu_total, exp(log_det)):
+        # Logistic for the default base, N for student.base="gaussian"
+        if cfg.student.base == "gaussian":
+            log_p = gaussian.gaussian_log_density(
+                x_ref, out.mu_total, out.log_det
+            )
+        else:
+            log_p = mol.logistic_log_density(
+                x_ref, out.mu_total, out.log_det
+            )
         ml = -jnp.mean(log_p)
         power = spectral_power_loss(out.wav, x_ref, cfg)
         return ml, power
