@@ -103,6 +103,45 @@ def test_logistic_log_density_symmetry_and_affine(x, m, ls, shift):
 
 
 @settings(**SETTINGS)
+@given(
+    st.floats(-1.0, 1.0), st.floats(-4.0, 1.0),
+    st.floats(-1.0, 1.0), st.floats(-4.0, 1.0),
+)
+def test_kl_gaussian_properties(mu_q, ls_q, mu_p, ls_p):
+    """The closed-form Gaussian KL (ops/gaussian.py, the ClariNet
+    distillation objective) must be nonnegative for every parameter
+    draw, zero iff q == p, and match the analytic cross-entropy
+    decomposition KL = H(q, p) - H(q)."""
+    from pwn_tpu.ops import gaussian
+
+    args = [jnp.float32(v) for v in (mu_q, ls_q, mu_p, ls_p)]
+    kl = float(gaussian.kl_gaussian(*args))
+    assert kl >= -1e-6
+    assert abs(float(gaussian.kl_gaussian(*args[:2], *args[:2]))) < 1e-6
+    # H(q) = ls_q + 0.5 log(2 pi e); H(q,p) via E_q[-log p] closed form
+    h_q = ls_q + 0.5 * np.log(2 * np.pi * np.e)
+    h_qp = (
+        ls_p + 0.5 * np.log(2 * np.pi)
+        + (np.exp(2 * ls_q) + (mu_q - mu_p) ** 2) / (2 * np.exp(2 * ls_p))
+    )
+    assert abs(kl - (h_qp - h_q)) < 1e-4 * max(1.0, abs(kl))
+
+
+@settings(**SETTINGS)
+@given(st.integers(0, 10**6))
+def test_gaussian_density_integrates_to_one(seed):
+    from pwn_tpu.ops import gaussian
+
+    rng = np.random.default_rng(seed)
+    m = jnp.float32(rng.uniform(-0.9, 0.9))
+    ls = jnp.float32(rng.uniform(-4.0, 0.5))
+    half = float(6.0 * np.exp(float(ls)))
+    x = jnp.linspace(float(m) - half, float(m) + half, 20001)
+    pdf = jnp.exp(gaussian.gaussian_log_density(x, m, ls))
+    assert abs(float(jnp.trapezoid(pdf, x)) - 1.0) < 2e-3
+
+
+@settings(**SETTINGS)
 @given(st.integers(0, 10**6))
 def test_mulaw_roundtrips(seed):
     rng = np.random.default_rng(seed)
