@@ -73,6 +73,64 @@ def test_golden_student_waveform_allclose(g, cfg):
     )
 
 
+GOLDEN_GAUSS = os.path.join(
+    os.path.dirname(__file__), "goldens", "tiny_gaussian_v1.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def gg():
+    return np.load(GOLDEN_GAUSS)
+
+
+@pytest.fixture(scope="module")
+def cfg_gauss(cfg):
+    from pwn_tpu.config import override
+
+    c = cfg
+    for k, v in (("teacher.output", "gaussian"),
+                 ("student.base", "gaussian")):
+        c = override(c, k, v)
+    return c
+
+
+def test_golden_gaussian_teacher_allclose(g, gg, cfg_gauss):
+    """Pins the Gaussian/ClariNet family semantics (head params +
+    continuous NLL) the way tiny_v1 pins MoL — same clip/mel/init keys
+    (tools/make_goldens.py)."""
+    from pwn_tpu.ops import gaussian
+
+    wav = jnp.asarray(g["clip"])[None]
+    x = jnp.clip(dsp.preemphasis(wav, cfg_gauss.dsp.preemphasis), -1, 1)
+    mel = jnp.asarray(g["mel"])[None]
+    teacher, t_vars = init_teacher(cfg_gauss, jax.random.PRNGKey(0))
+    t_params = teacher.apply(t_vars, x, mel)
+    assert t_params.shape[-1] == 2  # (mean, log_scale) head
+    np.testing.assert_allclose(
+        np.asarray(t_params[0, :512]), gg["teacher_gauss"],
+        rtol=1e-4, atol=1e-5,
+    )
+    nll = gaussian.gaussian_nll(
+        x, t_params, log_scale_min=cfg_gauss.teacher.log_scale_min
+    )
+    np.testing.assert_allclose(float(nll), float(gg["teacher_nll"]),
+                               rtol=1e-5)
+
+
+def test_golden_gaussian_student_waveform_allclose(g, gg, cfg_gauss):
+    mel = jnp.asarray(g["mel"])[None]
+    z = jnp.asarray(gg["z"])[None]
+    student, s_vars = init_student(cfg_gauss, jax.random.PRNGKey(1))
+    out = student.apply(s_vars, z, mel)
+    np.testing.assert_allclose(
+        np.asarray(out.wav[0]), gg["student_wav"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.log_det[0]), gg["student_log_det"],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_eval_metrics_sane(g, cfg):
     from pwn_tpu.evaluate import copy_synthesis_report
 

@@ -45,6 +45,43 @@ def test_streaming_matches_whole_call(rng, F, chunk_frames, B):
     )
 
 
+def test_streaming_matches_whole_call_gaussian(rng):
+    """Streaming exactness holds for the Gaussian/ClariNet family too:
+    the window fn is family-agnostic (flows_from_z), and the chunked
+    noise stream draws from the config's base via `sample_base_noise`
+    (here N(0,1) instead of Logistic(0,1))."""
+    from pwn_tpu.models.student import sample_base_noise
+
+    cfg = CFG
+    for k, v in (("teacher.output", "gaussian"),
+                 ("student.base", "gaussian")):
+        cfg = override(cfg, k, v)
+    model, variables = init_student(cfg, jax.random.PRNGKey(0))
+    params = variables["params"]
+    hop = cfg.dsp.hop_length
+    B, F, chunk_frames = 2, 64, 16
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (B, F, cfg.dsp.n_mels)).astype(np.float32)
+    )
+    z = sample_base_noise(cfg, jax.random.PRNGKey(3), (B, F * hop))
+
+    whole = jax.jit(
+        lambda v, z, m: model.apply(v, z, m, method="generate_from_z")
+    )(variables, z, mel)
+
+    streamed = np.concatenate(list(stream_student_chunks(
+        cfg, params, mel, z=np.asarray(z), chunk_frames=chunk_frames
+    )), axis=1)
+    np.testing.assert_allclose(
+        streamed, np.asarray(whole), rtol=1e-5, atol=1e-6
+    )
+    # keyed (chunk-stream) noise also draws from the gaussian base
+    a = np.concatenate(list(stream_student_chunks(
+        cfg, params, mel, key=jax.random.PRNGKey(7), chunk_frames=16
+    )), axis=1)
+    assert np.isfinite(a).all() and np.abs(a).max() <= 1.0
+
+
 def test_streaming_chunk_noise_is_deterministic_and_bounded(rng):
     """Without a pre-drawn z: same key -> identical chunks across calls,
     finite output in [-1, 1], and the z-block cache stays bounded."""

@@ -34,7 +34,7 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from pwn_tpu.config import get_config  # noqa: E402
+from pwn_tpu.config import get_config, override  # noqa: E402
 from pwn_tpu.data import SyntheticTones  # noqa: E402
 from pwn_tpu.models.student import init_student  # noqa: E402
 from pwn_tpu.models.teacher import init_teacher  # noqa: E402
@@ -43,6 +43,8 @@ from pwn_tpu.utils import dsp  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens",
                    "tiny_v1.npz")
+OUT_GAUSS = os.path.join(os.path.dirname(__file__), "..", "tests",
+                         "goldens", "tiny_gaussian_v1.npz")
 
 
 def main() -> None:
@@ -64,7 +66,10 @@ def main() -> None:
     s_out = student.apply(s_vars, z, mel)
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    np.savez_compressed(
+    only_gaussian = "--only-gaussian" in sys.argv
+    _savez_mol = ((lambda *a, **kw: None) if only_gaussian
+                  else np.savez_compressed)
+    _savez_mol(
         OUT,
         clip=np.asarray(clip, np.float32),
         mel=np.asarray(mel[0], np.float32),
@@ -74,7 +79,40 @@ def main() -> None:
         student_wav=np.asarray(s_out.wav[0], np.float32),
         student_log_det=np.asarray(s_out.log_det[0], np.float32),
     )
-    print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
+    if only_gaussian:
+        print(f"skipped {OUT} (--only-gaussian)")
+    else:
+        print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
+
+    # Gaussian/ClariNet family fixture (tiny_gaussian_v1.npz): pins the
+    # gaussian teacher head, gaussian_nll, and the Gaussian-base student
+    # IAF transform on the SAME clip/mel/init keys as the MoL fixture.
+    from pwn_tpu.ops import gaussian  # noqa: E402
+
+    cfg_g = cfg
+    for k, v in (("teacher.output", "gaussian"),
+                 ("student.base", "gaussian")):
+        cfg_g = override(cfg_g, k, v)
+
+    teacher_g, tg_vars = init_teacher(cfg_g, jax.random.PRNGKey(0))
+    tg_params = teacher_g.apply(tg_vars, x, mel)
+    nll_g = gaussian.gaussian_nll(
+        x, tg_params, log_scale_min=cfg_g.teacher.log_scale_min
+    )
+
+    student_g, sg_vars = init_student(cfg_g, jax.random.PRNGKey(1))
+    z_g = gaussian.sample_normal(jax.random.PRNGKey(7), x.shape)
+    sg_out = student_g.apply(sg_vars, z_g, mel)
+
+    np.savez_compressed(
+        OUT_GAUSS,
+        teacher_gauss=np.asarray(tg_params[0, :512], np.float32),
+        teacher_nll=np.float32(nll_g),
+        z=np.asarray(z_g[0], np.float32),
+        student_wav=np.asarray(sg_out.wav[0], np.float32),
+        student_log_det=np.asarray(sg_out.log_det[0], np.float32),
+    )
+    print(f"wrote {OUT_GAUSS} ({os.path.getsize(OUT_GAUSS)} bytes)")
 
 
 if __name__ == "__main__":
