@@ -218,7 +218,10 @@ def main(argv=None) -> int:
             mngr.close()
             from pwn_tpu.training.common import serving_params
 
-            gen_params = serving_params(state)
+            # commit the restored host tree to device once — otherwise
+            # every streaming-chunk jit call re-uploads it (loop.py
+            # run_distillation has the measured numbers)
+            gen_params = jax.device_put(serving_params(state))
             if args.chunk_frames:
                 # streaming synthesis: chunks arrive incrementally (a
                 # server would ship them as they come, carrying the

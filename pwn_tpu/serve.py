@@ -93,7 +93,13 @@ class VocoderService:
         )
         state, step = mngr.restore(state)
         mngr.close()
-        return cls(cfg, serving_params(state), chunk_frames)
+        # device-commit once: the restore yields host numpy, and a host
+        # tree as a jit arg re-uploads per chunk call (see loop.py
+        # run_distillation for the measured cost of that pattern)
+        import jax
+
+        return cls(cfg, jax.device_put(serving_params(state)),
+                   chunk_frames)
 
     def synthesize_chunks(self, wav: np.ndarray, temperature: float,
                           chunk_frames: Optional[int] = None):
