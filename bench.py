@@ -64,6 +64,14 @@ def main() -> int:
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
     }
+    # self-validation verdicts ride along (VERDICT r3 item 1): a failed
+    # plausibility bound or kernel canary must be visible in the one
+    # line the driver records, not buried in the detail
+    if "error" in result:
+        line["error"] = result["error"]
+    kc = result["detail"].get("kernel_check", {})
+    if "pass" in kc:
+        line["kernel_check"] = "pass" if kc["pass"] else "FAIL"
 
     def _compact(x):
         if isinstance(x, float):

@@ -8,17 +8,29 @@ Measurement methodology, forced by the axon tunnel platform:
   scalar device->host transfer of a checksum that depends on the full
   computation;
 * each sync costs a ~30 ms tunnel round-trip, so N iterations are CHAINED
-  inside one jitted `fori_loop` (data-dependent through an accumulator) and
-  a single transfer closes the chain; the measured round-trip latency is
-  subtracted once;
-* reported numbers are the best of a few chain repetitions (steady-state,
-  post-compile).
+  inside one jitted `fori_loop` (data-dependent through an accumulator)
+  and a single transfer closes the chain;
+* the fixed per-call overhead (tunnel RTT + dispatch) is removed by
+  TWO-POINT DIFFERENCING, not subtraction of a separately measured RTT:
+  each chain takes its iteration count as a DYNAMIC device scalar, the
+  chain is timed at N and 2N iterations, and the per-iteration time is
+  (t_2N - t_N) / N.  The overhead cancels exactly instead of relying on
+  an RTT estimate that can drift between its measurement and the timed
+  run — round 3's bench subtracted a stale RTT, clamped negative results
+  to ~0 and published physically impossible numbers (48e9 utt/s,
+  MFU 7.4e7; VERDICT r3 weak item 1).  This module now NEVER clamps: a
+  measurement whose signal is not clearly above the tunnel noise is
+  retried with a longer chain and, failing that, reported as an explicit
+  `timing_error` with zeroed rates;
+* every reported rate is bound-checked against the analytic FLOPs floor
+  (`step_ms >= flops / datasheet_peak`) and the MFU ceiling (<= 1.0)
+  before it is allowed into the bench output (`_plausibility_check`).
 """
 
 from __future__ import annotations
 
 import time
-from typing import Any, Dict
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,28 +50,99 @@ def _force(x) -> float:
     return float(np.asarray(x))
 
 
-def measure_round_trip_ms(reps: int = 5) -> float:
+def measure_round_trip_ms(reps: int = 7) -> float:
+    """Median device->host sync latency for a trivial computation."""
     x = jnp.ones((8, 8))
     f = jax.jit(lambda a: a.sum())
     _force(f(x))
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         _force(f(x))
-    return (time.perf_counter() - t0) / reps * 1e3
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples)) * 1e3
 
 
-def _time_chain(chain_fn, n_iters: int, reps: int = 3,
-                rtt_ms: float | None = None) -> float:
-    """Best per-iteration seconds for a jitted chain of n_iters steps."""
-    _force(chain_fn())  # compile + warmup
+def _best_of(chain_fn: Callable[[int], Any], n: int, reps: int) -> float:
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        _force(chain_fn())
+        _force(chain_fn(n))
         best = min(best, time.perf_counter() - t0)
-    if rtt_ms is not None:
-        best = max(best - rtt_ms / 1e3, 1e-9)
-    return best / n_iters
+    return best
+
+
+def _time_chain(
+    chain_fn: Callable[[int], Any],
+    n_iters: int,
+    reps: int = 3,
+    max_doublings: int = 3,
+) -> Tuple[Optional[float], Dict[str, Any]]:
+    """Best per-iteration seconds for a jitted chain with a DYNAMIC
+    iteration count.
+
+    `chain_fn(n)` must run n timed iterations inside one jit call (a
+    `fori_loop` whose bound is a traced scalar, so n does not recompile)
+    and return a device scalar depending on all of them.  The chain is
+    timed at n and 2n; per-iteration time = (t_2n - t_n) / n, which
+    cancels the fixed tunnel/dispatch overhead exactly.
+
+    Validation (VERDICT r3 item 1): the differenced signal must exceed
+    1.5x the adjacent-measured RTT, else the chain is re-timed with a
+    doubled n (up to `max_doublings`), and a still-unresolvable
+    measurement returns (None, meta-with-error) — never a clamped or
+    negative number.
+    """
+    _force(chain_fn(1))  # compile + warmup (n is dynamic: no recompile)
+    meta: Dict[str, Any] = {}
+    for attempt in range(max_doublings + 1):
+        rtt_ms = measure_round_trip_ms()
+        # alternate the two chain lengths so slow drift in tunnel
+        # latency hits both estimates equally
+        t1 = t2 = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _force(chain_fn(n_iters))
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _force(chain_fn(2 * n_iters))
+            t2 = min(t2, time.perf_counter() - t0)
+        diff = t2 - t1
+        meta = {
+            "n_iters": n_iters,
+            "rtt_ms": round(rtt_ms, 3),
+            "chain_1x_ms": round(t1 * 1e3, 3),
+            "chain_2x_ms": round(t2 * 1e3, 3),
+            "method": "two-point differencing (overhead cancels)",
+        }
+        if diff > 1.5 * rtt_ms / 1e3:
+            return diff / n_iters, meta
+        n_iters *= 2
+    meta["timing_error"] = (
+        "chain timing not separable from tunnel noise: "
+        f"t(2n)-t(n) = {diff * 1e3:.3f} ms <= 1.5x RTT "
+        f"({rtt_ms:.1f} ms) after {max_doublings} doublings "
+        f"(final n={n_iters}); refusing to report a rate"
+    )
+    return None, meta
+
+
+def _rate_result(dt: Optional[float], meta: Dict[str, Any],
+                 fields: Dict[str, Callable[[float], float]],
+                 extra: Dict[str, Any]) -> Dict[str, Any]:
+    """Assemble a measurement dict; zero the rates on timing failure."""
+    out: Dict[str, Any] = dict(extra)
+    if dt is None:
+        for k in fields:
+            out[k] = 0.0
+        out["step_ms"] = 0.0
+        out["error"] = meta.get("timing_error", "timing failed")
+    else:
+        for k, fn in fields.items():
+            out[k] = fn(dt)
+        out["step_ms"] = dt * 1e3
+    out["timing"] = meta
+    return out
 
 
 def measure_student_inference(
@@ -76,41 +159,42 @@ def measure_student_inference(
         .uniform(0, 1, (batch, frames, cfg.dsp.n_mels))
         .astype(np.float32)
     )
-    rtt = measure_round_trip_ms()
 
     @jax.jit
-    def chain(v, key, mel):
+    def chain(v, key, mel, n):
         def body(i, acc):
             w = model.apply(v, jax.random.fold_in(key, i), mel,
                             method="generate")
             return acc + w.sum()
 
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     key = jax.random.PRNGKey(1)
-    dt = _time_chain(lambda: chain(variables, key, mel), n_iters,
-                     rtt_ms=rtt)
+    dt, meta = _time_chain(
+        lambda n: chain(variables, key, mel, jnp.int32(n)), n_iters
+    )
     audio_sec = batch * T / sr
     n_dev = jax.local_device_count()
-    return {
-        "audio_sec_per_s_per_chip": audio_sec / dt / n_dev,
-        "batch": batch,
-        "samples": T,
-        "step_ms": dt * 1e3,
-        "samples_per_s": batch * T / dt,
-        "round_trip_ms": rtt,
-    }
+    return _rate_result(
+        dt, meta,
+        {
+            "audio_sec_per_s_per_chip": lambda s: audio_sec / s / n_dev,
+            "samples_per_s": lambda s: batch * T / s,
+        },
+        {"batch": batch, "samples": T},
+    )
 
 
 def measure_teacher_train(cfg: Config, n_iters: int = 6) -> Dict[str, Any]:
     """Teacher teacher-forcing training throughput: utterances/s."""
     from pwn_tpu.config import override
 
-    # same model mode as the real training loop: the fused-backward
-    # train megakernel on TPU (18.2 vs 42.6 ms/step on v5e, r2 session
-    # 1), unrolled XLA on CPU (resolve_stack_mode maps mega_train->xla
-    # there)
-    cfg = override(cfg, "teacher.fused_layers", "mega_train")
+    # same model mode as the real training loop: "auto" -> the fused-
+    # backward train megakernel on TPU (18.2 vs 42.6 ms/step on v5e, r2
+    # session 1), unrolled XLA on CPU (resolve_stack_mode maps
+    # mega_train->xla there); explicit flags pass through for A/B tools
+    if cfg.teacher.fused_layers == "auto":
+        cfg = override(cfg, "teacher.fused_layers", "mega_train")
     model, variables = init_teacher(cfg, jax.random.PRNGKey(0),
                                     use_scan=False)
     tx = make_optimizer(cfg.train)
@@ -119,10 +203,9 @@ def measure_teacher_train(cfg: Config, n_iters: int = 6) -> Dict[str, Any]:
     B = cfg.train.global_batch_size
     ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
     wav = jnp.asarray(next(make_train_iterator(ds, cfg, B, seed=0)))
-    rtt = measure_round_trip_ms()
 
     @jax.jit
-    def chain(params, opt_state, wav):
+    def chain(params, opt_state, wav, n):
         x, mel = prepare_batch(wav, cfg)
 
         def body(i, carry):
@@ -137,19 +220,21 @@ def measure_teacher_train(cfg: Config, n_iters: int = 6) -> Dict[str, Any]:
             return params, opt_state, acc + loss
 
         _, _, acc = jax.lax.fori_loop(
-            0, n_iters, body, (params, opt_state, jnp.float32(0))
+            0, n, body, (params, opt_state, jnp.float32(0))
         )
         return acc
 
-    dt = _time_chain(lambda: chain(params, opt_state, wav), n_iters,
-                     rtt_ms=rtt)
-    return {
-        "teacher_utt_per_s": B / dt,
-        "step_ms": dt * 1e3,
-        "batch": B,
-        "crop_samples": cfg.train.crop_samples,
-        "samples_per_s": B * cfg.train.crop_samples / dt,
-    }
+    dt, meta = _time_chain(
+        lambda n: chain(params, opt_state, wav, jnp.int32(n)), n_iters
+    )
+    return _rate_result(
+        dt, meta,
+        {
+            "teacher_utt_per_s": lambda s: B / s,
+            "samples_per_s": lambda s: B * cfg.train.crop_samples / s,
+        },
+        {"batch": B, "crop_samples": cfg.train.crop_samples},
+    )
 
 
 def measure_distill_train(cfg: Config, n_iters: int = 4) -> Dict[str, Any]:
@@ -180,10 +265,9 @@ def measure_distill_train(cfg: Config, n_iters: int = 4) -> Dict[str, Any]:
     B = cfg.train.global_batch_size
     ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
     wav = jnp.asarray(next(make_train_iterator(ds, cfg, B, seed=0)))
-    rtt = measure_round_trip_ms()
 
     @jax.jit
-    def chain(params, opt_state, t_params, wav, key):
+    def chain(params, opt_state, t_params, wav, key, n):
         x_ref, mel = prepare_batch(wav, cfg)
 
         def body(i, carry):
@@ -202,21 +286,20 @@ def measure_distill_train(cfg: Config, n_iters: int = 4) -> Dict[str, Any]:
             return params, opt_state, acc + loss
 
         _, _, acc = jax.lax.fori_loop(
-            0, n_iters, body, (params, opt_state, jnp.float32(0))
+            0, n, body, (params, opt_state, jnp.float32(0))
         )
         return acc
 
-    dt = _time_chain(
-        lambda: chain(params, opt_state, t_vars["params"], wav,
-                      jax.random.PRNGKey(2)),
-        n_iters, rtt_ms=rtt,
+    dt, meta = _time_chain(
+        lambda n: chain(params, opt_state, t_vars["params"], wav,
+                        jax.random.PRNGKey(2), jnp.int32(n)),
+        n_iters,
     )
-    return {
-        "distill_utt_per_s": B / dt,
-        "step_ms": dt * 1e3,
-        "batch": B,
-        "crop_samples": cfg.train.crop_samples,
-    }
+    return _rate_result(
+        dt, meta,
+        {"distill_utt_per_s": lambda s: B / s},
+        {"batch": B, "crop_samples": cfg.train.crop_samples},
+    )
 
 
 def measure_student_direct_train(cfg: Config,
@@ -241,10 +324,9 @@ def measure_student_direct_train(cfg: Config,
     B = cfg.train.global_batch_size
     ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
     wav = jnp.asarray(next(make_train_iterator(ds, cfg, B, seed=0)))
-    rtt = measure_round_trip_ms()
 
     @jax.jit
-    def chain(params, opt_state, wav, key):
+    def chain(params, opt_state, wav, key, n):
         x_ref, mel = prepare_batch(wav, cfg)
 
         def body(i, carry):
@@ -263,20 +345,20 @@ def measure_student_direct_train(cfg: Config,
             return params, opt_state, acc + loss
 
         _, _, acc = jax.lax.fori_loop(
-            0, n_iters, body, (params, opt_state, jnp.float32(0))
+            0, n, body, (params, opt_state, jnp.float32(0))
         )
         return acc
 
-    dt = _time_chain(
-        lambda: chain(params, opt_state, wav, jax.random.PRNGKey(2)),
-        n_iters, rtt_ms=rtt,
+    dt, meta = _time_chain(
+        lambda n: chain(params, opt_state, wav, jax.random.PRNGKey(2),
+                        jnp.int32(n)),
+        n_iters,
     )
-    return {
-        "student_direct_utt_per_s": B / dt,
-        "step_ms": dt * 1e3,
-        "batch": B,
-        "crop_samples": cfg.train.crop_samples,
-    }
+    return _rate_result(
+        dt, meta,
+        {"student_direct_utt_per_s": lambda s: B / s},
+        {"batch": B, "crop_samples": cfg.train.crop_samples},
+    )
 
 
 def measure_teacher_ar_sampling(
@@ -295,7 +377,6 @@ def measure_teacher_ar_sampling(
         .uniform(0, 1, (batch, frames, cfg.dsp.n_mels))
         .astype(np.float32)
     )
-    rtt = measure_round_trip_ms()
 
     fn = (
         sampling.fast_sample
@@ -304,18 +385,194 @@ def measure_teacher_ar_sampling(
     )
 
     @jax.jit
-    def run(v, key, mel):
-        return fn(model, v, key, mel).sum()
+    def chain(v, key, mel, n):
+        def body(i, acc):
+            wav = fn(model, v, jax.random.fold_in(key, i), mel)
+            return acc + wav.sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     key = jax.random.PRNGKey(1)
-    dt = _time_chain(lambda: run(variables, key, mel), 1, rtt_ms=rtt)
+    dt, meta = _time_chain(
+        lambda n: chain(variables, key, mel, jnp.int32(n)), 1
+    )
+    return _rate_result(
+        dt, meta,
+        {
+            "ar_samples_per_s": lambda s: batch * T / s,
+            "ar_steps_per_s": lambda s: T / s,
+            "ar_audio_sec_per_s": lambda s: batch * T / sr / s,
+            "ar_us_per_step": lambda s: s / T * 1e6,
+        },
+        {"batch": batch, "samples": T},
+    )
+
+
+# ---------------------------------------------------------------------------
+# On-TPU kernel-correctness canary (VERDICT r3 item 3)
+# ---------------------------------------------------------------------------
+
+
+def kernel_canary(cfg: Config, batch: int = 8,
+                  T: int = 2048) -> Dict[str, Any]:
+    """~1 s per-batch-row correctness check of every shipped Pallas
+    kernel family, run on the REAL device inside each bench.
+
+    Guards the bb=8-class Mosaic miscompile (BASELINE.md round 3): a
+    miscompile corrupted SPECIFIC batch rows by O(1) while interpret
+    mode stayed bit-exact, so interpret-mode CI provably cannot catch
+    it.  Checks, at the preset's resolved kernel layout:
+
+    * generation megakernel skip-sum vs the fp32 XLA reference, per row;
+    * mega_train forward + fused Pallas backward dx (a per-row quantity,
+      unlike weight grads) vs fp32 XLA `jax.grad`, per row;
+    * AR sampler cross-row uniformity: Pallas vs conv-queue scan on a
+      shared noise stream — compounding MXU drift hits all rows alike
+      (~0.02 @ 512 steps), a miscompile blows up SPECIFIC rows
+      (tools/r3s3_ar_precision.py calibration).
+    """
+    if jax.default_backend() == "cpu":
+        return {"skipped": "cpu backend (kernels run in interpret mode; "
+                           "the miscompile class is TPU-only)"}
+    from pwn_tpu.ops.pallas import flow_stack as fs
+
+    sc = cfg.student
+    L, C, G, S = (sc.layers_per_flow, sc.residual_channels,
+                  sc.gate_channels, sc.skip_channels)
+    M = cfg.dsp.n_mels
+    dil = sc.flow_dilations
+    dt = jnp.bfloat16 if sc.compute_dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(42)
+
+    def arr(shape, scale):
+        return jnp.asarray(rng.normal(0, scale, shape).astype(np.float32))
+
+    x0 = arr((batch, T, C), 0.5).astype(dt)
+    cond = arr((batch, T, M), 0.5).astype(dt)
+    w_in = arr((L, 2 * C + M, G), (2 * C + M) ** -0.5).astype(dt)
+    b_g = arr((L, G), 0.1).astype(dt)
+    w_out = arr((L, G // 2, C + S), (G // 2) ** -0.5).astype(dt)
+    b_rs = arr((L, C + S), 0.1).astype(dt)
+    f32 = [a.astype(jnp.float32)
+           for a in (x0, cond, w_in, b_g, w_out, b_rs)]
+
+    @jax.jit
+    def ref_fwd_dx(x0f, condf, w_inf, b_gf, w_outf, b_rsf):
+        def f(x):
+            return fs._reference_xla_unrolled(
+                x, condf, w_inf, b_gf, w_outf, b_rsf, dilations=dil
+            ).astype(jnp.float32).sum()
+
+        skip = fs._reference_xla_unrolled(
+            x0f, condf, w_inf, b_gf, w_outf, b_rsf, dilations=dil
+        )
+        return skip.astype(jnp.float32), jax.grad(f)(x0f)
+
+    ref_skip, ref_dx = ref_fwd_dx(*f32)
+    ref_skip = np.asarray(ref_skip)
+    ref_dx = np.asarray(ref_dx)
+
+    @jax.jit
+    def mega(x0, cond, w_in, b_g, w_out, b_rs):
+        skip = fs.fused_flow_stack(
+            x0, cond, w_in, b_g, w_out, b_rs, dilations=dil,
+            interpret=False,
+        )
+        dx = jax.grad(
+            lambda x: fs.fused_flow_stack_train(
+                x, cond, w_in, b_g, w_out, b_rs, dilations=dil,
+                interpret=False,
+            ).astype(jnp.float32).sum()
+        )(x0)
+        return skip.astype(jnp.float32), dx.astype(jnp.float32)
+
+    gen_skip, train_dx = mega(x0, cond, w_in, b_g, w_out, b_rs)
+    gen_skip = np.asarray(gen_skip)
+    train_dx = np.asarray(train_dx)
+
+    def row_rel(out, ref):
+        err = np.abs(out - ref).reshape(batch, -1).max(axis=1)
+        scale = np.abs(ref).reshape(batch, -1).max(axis=1) + 1e-6
+        return err / scale
+
+    gen_rows = row_rel(gen_skip, ref_skip)
+    dx_rows = row_rel(train_dx, ref_dx)
+
+    # AR backend agreement on the r3-CALIBRATED configuration: the tiny
+    # fp32 teacher, where tools/r3s3_ar_precision.py measured ~0.02 abs
+    # drift between the Pallas kernel and the conv-queue scan over 512
+    # feedback steps.  At bf16 preset sizes the two backends' different
+    # inner precisions (kernel: fp32 over bf16 weights; scan: bf16)
+    # amplify chaotically through the feedback loop to O(1) on EVERY
+    # row — no miscompile signal survives there, so the preset-layout
+    # coverage comes from the flow-stack checks above and the AR check
+    # pins the calibrated layout (same compiled kernel code path).
+    from pwn_tpu.config import override as _ov
+
+    cfg_ar = get_config("tiny_teacher")
+    if cfg.teacher.output != cfg_ar.teacher.output:
+        cfg_ar = _ov(cfg_ar, "teacher.output", cfg.teacher.output)
+    hop = cfg_ar.dsp.hop_length
+    frames = max(512 // hop, 2)
+    Tar = frames * hop
+    model, variables = init_teacher(cfg_ar, jax.random.PRNGKey(0))
+    if cfg_ar.teacher.output == "mol":
+        # pin the Gumbel-argmax mixture choice to component 0: on a
+        # random-init model the logits are near-uniform, so ANY numeric
+        # drift flips selections and the trajectories diverge to O(1)
+        # on every row (the known MoL value-comparison trap, BASELINE.md
+        # round 3) — with a +25 logit bias the comparison stays
+        # continuous and the ~0.02 @ 512-step drift bound applies
+        b = variables["params"]["stack"]["head2"]["bias"]
+        variables = {
+            **variables,
+            "params": {
+                **variables["params"],
+                "stack": {
+                    **variables["params"]["stack"],
+                    "head2": {
+                        **variables["params"]["stack"]["head2"],
+                        "bias": b.at[0].add(25.0),
+                    },
+                },
+            },
+        }
+    mel = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(0, 1, (batch, frames, cfg_ar.dsp.n_mels))
+        .astype(np.float32)
+    )
+    # shared stream: fast_sample consumes the pre-drawn noise that
+    # fast_sample_pallas derives internally from the same key
+    key = jax.random.PRNGKey(7)
+    noise = sampling.draw_noise(cfg_ar, key, Tar, batch)
+    scan = np.asarray(jax.jit(
+        lambda v, m, u: sampling.fast_sample(model, v, key, m, uniforms=u)
+    )(variables, mel, noise))
+    pall = np.asarray(jax.jit(
+        lambda v, m: sampling.fast_sample_pallas(model, v, key, m)
+    )(variables, mel))
+    ar_rows = np.abs(pall - scan).max(axis=1)
+
+    # thresholds calibrated on r3 data: healthy rows sit at the bf16
+    # accumulation level (~0.005 rel for the stacks, ~0.02-0.03 abs for
+    # 512 AR feedback steps); the observed miscompile was ~0.3 rel /
+    # O(1) abs on specific rows
+    GEN_THRESH, DX_THRESH, AR_THRESH = 0.08, 0.12, 0.15
+    ok = bool(
+        gen_rows.max() < GEN_THRESH
+        and dx_rows.max() < DX_THRESH
+        and ar_rows.max() < AR_THRESH
+    )
     return {
-        "ar_samples_per_s": batch * T / dt,
-        "ar_steps_per_s": T / dt,
-        "ar_audio_sec_per_s": batch * T / sr / dt,
-        "ar_us_per_step": dt / T * 1e6,
-        "batch": batch,
-        "samples": T,
+        "pass": ok,
+        "gen_row_rel_err": [round(float(v), 5) for v in gen_rows],
+        "train_dx_row_rel_err": [round(float(v), 5) for v in dx_rows],
+        "ar_row_abs_diff": [round(float(v), 5) for v in ar_rows],
+        "thresholds": {"gen_rel": GEN_THRESH, "dx_rel": DX_THRESH,
+                       "ar_abs": AR_THRESH},
+        "layout": {"L": L, "C": C, "G": G, "S": S, "B": batch, "T": T,
+                   "ar_steps": Tar},
     }
 
 
@@ -382,6 +639,24 @@ def teacher_fwd_flops_per_sample(cfg: Config) -> float:
     return 2.0 * macs
 
 
+def _plausibility_check(step_ms: float, flops_per_step: float,
+                        peak_tflops: float | None) -> Optional[str]:
+    """Physical-bounds gate: a step cannot beat the datasheet peak.
+
+    Returns an error string for impossible numbers (VERDICT r3: the
+    bench must refuse to print 48e9 utt/s / MFU 7.4e7 as data)."""
+    if step_ms <= 0.0:
+        return f"non-positive step time ({step_ms} ms)"
+    if peak_tflops is None:
+        return None
+    floor_ms = flops_per_step / (peak_tflops * 1e12) * 1e3
+    if step_ms < floor_ms:
+        return (f"step_ms {step_ms:.4f} below analytic FLOPs floor "
+                f"{floor_ms:.4f} ms (would exceed {peak_tflops} TFLOP/s "
+                "datasheet peak) — measurement invalid")
+    return None
+
+
 def analytic_dp_efficiency(cfg: Config, step_ms: float,
                            counts=(2, 4, 8, 16, 64, 256)) -> Any:
     """Predicted DP weak-scaling efficiency from the roofline the CPU
@@ -398,6 +673,9 @@ def analytic_dp_efficiency(cfg: Config, step_ms: float,
     """
     import numpy as _np
 
+    if step_ms is None or step_ms <= 0.0:
+        return {"error": "no valid step_ms to extrapolate from "
+                         "(upstream timing failed)"}
     tpl = jax.eval_shape(
         lambda k: init_teacher(cfg, k)[1]["params"], jax.random.PRNGKey(0)
     )
@@ -426,12 +704,137 @@ def analytic_dp_efficiency(cfg: Config, step_ms: float,
             "rows": rows}
 
 
-def _dp_scaling_cpu_sim() -> Any:
-    """CPU-simulated DP scaling table in a subprocess with 8 virtual
-    devices (the single-chip axon environment cannot grow real devices).
-    Rows are labelled sim — throughput is bounded by the shared host
-    cores (4), so the table audits the sharding machinery end-to-end,
-    not ICI; `analytic_dp_efficiency` carries the hardware claim."""
+def analytic_tp_efficiency(cfg: Config, n_model: int = 2,
+                           per_chip_batch: int = 8) -> Dict[str, Any]:
+    """Roofline for Megatron gate-channel TP TRAINING of this model
+    family (VERDICT r3 item 4): per gated layer, the row-parallel
+    z @ [w_res|w_skip] output needs one psum of the (B, T, C+S)
+    activation — compare that traffic against the layer's compute.
+
+    The result is structural, not marginal: the model is ACTIVATION-
+    dominated (total params ~13-50 MB vs ~100 MB of psum payload per
+    layer per batch-8 step), so sharding parameters buys nothing while
+    every layer pays an all-reduce bigger than the whole gradient
+    all-reduce of DP.  This is why `large_student_sharded` trains DP
+    (config.py) — the numbers below go to BASELINE.md.
+    """
+    ICI_BW = 9.0e10  # bytes/s per chip, v5e one torus axis
+    T = cfg.train.crop_samples
+    b = per_chip_batch
+    peak = peak_bf16_tflops() or 197.0
+
+    def layer_row(C, G, S, M, n_layers, tag):
+        # one layer: gate GEMM (2C+M)xG + out GEMM (G/2)x(C+S), fwd;
+        # training ~3x fwd FLOPs.  TP splits compute n_model ways.
+        flops = 2.0 * b * T * ((2 * C + M) * G + (G // 2) * (C + S))
+        compute_ms = 3.0 * flops / n_model / (peak * 1e12) * 1e3
+        # psum payload: (b, T, C+S) bf16, fwd + the mirrored bwd
+        # all-reduce of dz; ring cost 2*(n-1)/n per chip
+        payload = b * T * (C + S) * 2
+        comm_ms = (2.0 * payload * 2.0 * (n_model - 1) / n_model
+                   / ICI_BW * 1e3)
+        return {
+            "stack": tag, "layers": n_layers,
+            "per_layer_compute_ms": round(compute_ms, 4),
+            "per_layer_psum_ms": round(comm_ms, 4),
+            "comm_over_compute": round(comm_ms / compute_ms, 2),
+            "step_comm_ms": round(comm_ms * n_layers, 2),
+        }
+
+    sc, tc, M = cfg.student, cfg.teacher, cfg.dsp.n_mels
+    rows = [
+        layer_row(sc.residual_channels, sc.gate_channels,
+                  sc.skip_channels, M,
+                  sc.n_flows * sc.layers_per_flow, "student"),
+        layer_row(tc.residual_channels, tc.gate_channels,
+                  tc.skip_channels, M, tc.n_layers, "teacher(score)"),
+    ]
+    total_comm = sum(r["step_comm_ms"] for r in rows)
+    total_compute = sum(
+        r["per_layer_compute_ms"] * r["layers"] for r in rows
+    )
+    return {
+        "n_model": n_model, "per_chip_batch": b, "crop_samples": T,
+        "rows": rows,
+        "distill_step_comm_ms": round(total_comm, 1),
+        "distill_step_compute_ms": round(total_compute, 1),
+        "predicted_tp_efficiency": round(
+            total_compute / (total_compute + total_comm), 3
+        ),
+        "note": "Megatron gate-sharded TP training roofline, zero "
+                "overlap; compare DP's one 13-50 MB grad all-reduce "
+                "per step (analytic_dp_efficiency)",
+    }
+
+
+def dp_equivalence_check(cfg: Config) -> Dict[str, Any]:
+    """Pass/fail audit of the shard_map DP machinery: gradients from the
+    per-device pmean path over ALL visible devices must equal the
+    single-device gradients on the identical global batch.
+
+    This replaces the former CPU-sim throughput table (VERDICT r3 weak
+    item 2: 8 virtual devices on 4 oversubscribed host cores produced
+    "efficiency" numbers from scheduler jitter — super-linear 1.249 at 2
+    devices one round, 0.594 the next).  A correctness audit is what the
+    sim can actually deliver; `analytic_dp_efficiency` carries the
+    hardware efficiency claim.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from pwn_tpu.config import override
+
+    cfg = override(cfg, "teacher.fused_layers", "off")
+    devices = jax.devices()
+    n = len(devices)
+    model, variables = init_teacher(cfg, jax.random.PRNGKey(0),
+                                    use_scan=False)
+    params = variables["params"]
+    B = max(cfg.train.global_batch_size, n)
+    B -= B % n
+    ds = SyntheticTones(8, cfg.train.crop_samples, cfg.dsp.sample_rate)
+    wav = jnp.asarray(next(make_train_iterator(ds, cfg, B, seed=0)))
+
+    def loss_grads(p, wav):
+        x, mel = prepare_batch(wav, cfg)
+        return jax.value_and_grad(
+            lambda q: model.apply({"params": q}, x, mel, method="loss")
+        )(p)
+
+    ref_loss, ref_grads = jax.jit(loss_grads)(params, wav)
+
+    mesh = Mesh(np.asarray(devices).reshape(n, 1), ("data", "model"))
+
+    def dp(p, wav):
+        loss, grads = loss_grads(p, wav)
+        return jax.lax.pmean((loss, grads), "data")
+
+    dp_loss, dp_grads = jax.jit(jax.shard_map(
+        dp, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(),
+        check_vma=False,
+    ))(params, wav)
+
+    rel_errs = jax.tree.map(
+        lambda a, b: float(
+            jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12)
+        ),
+        dp_grads, ref_grads,
+    )
+    max_rel = max(jax.tree.leaves(rel_errs))
+    loss_rel = abs(float(dp_loss) - float(ref_loss)) / (
+        abs(float(ref_loss)) + 1e-12
+    )
+    # tolerance matches tests/test_distributed.py: the per-shard pmean
+    # changes fp32 reduction order, giving ~1e-4..1e-3 rel on grads
+    ok = max_rel < 2e-3 and loss_rel < 1e-5
+    return {"devices": n, "batch": B, "pass": bool(ok),
+            "max_grad_rel_err": max_rel, "loss_rel_err": loss_rel,
+            "note": "shard_map pmean grads vs single-device grads on the "
+                    "identical global batch"}
+
+
+def _dp_equivalence_cpu_sim() -> Any:
+    """Run `dp_equivalence_check` in a subprocess with 8 virtual CPU
+    devices (the single-chip axon environment cannot grow real devices)."""
     import json
     import os
     import subprocess
@@ -442,12 +845,12 @@ def _dp_scaling_cpu_sim() -> Any:
         "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
-        "from pwn_tpu.benchmarks import measure_scaling\n"
+        "from pwn_tpu.benchmarks import dp_equivalence_check\n"
         "from pwn_tpu.config import get_config, override\n"
         "cfg = override(get_config('tiny_teacher'),"
         " 'train.crop_samples', 1024)\n"
         "cfg = override(cfg, 'train.global_batch_size', 8)\n"
-        "print('DPSCALE ' + json.dumps(measure_scaling(cfg, n_iters=2)))\n"
+        "print('DPEQ ' + json.dumps(dp_equivalence_check(cfg)))\n"
     )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -460,13 +863,12 @@ def _dp_scaling_cpu_sim() -> Any:
                 os.path.dirname(os.path.abspath(__file__))),
         )
         for line in r.stdout.splitlines():
-            if line.startswith("DPSCALE "):
-                rows = json.loads(line[len("DPSCALE "):])
-                for row in rows:
-                    row["sim"] = "cpu-8dev-tiny"
-                return rows
+            if line.startswith("DPEQ "):
+                out = json.loads(line[len("DPEQ "):])
+                out["sim"] = "cpu-8dev-tiny"
+                return out
         return {"error": (r.stderr or r.stdout)[-500:]}
-    except Exception as e:  # never fail the bench over the sim table
+    except Exception as e:  # never fail the bench over the sim audit
         return {"error": repr(e)}
 
 
@@ -476,20 +878,35 @@ def run_bench(case: str = "student_iaf", overrides=None,
     student = measure_student_inference(cfg)
     detail: Dict[str, Any] = {"student": student,
                               "device": str(jax.devices()[0])}
+    errors = []
     peak = peak_bf16_tflops()
-    s_flops_rate = (student_gen_flops_per_sample(cfg)
-                    * student["samples_per_s"])
     mfu: Dict[str, Any] = {
         "peak_bf16_tflops": peak,
-        "student_infer_tflops": round(s_flops_rate / 1e12, 3),
-        "student_infer": (round(s_flops_rate / (peak * 1e12), 4)
-                          if peak else None),
         "note": "analytic GEMM/conv FLOPs vs datasheet bf16 peak",
     }
+    if "error" in student:
+        errors.append("student: " + student["error"])
+    else:
+        s_flops_step = (student_gen_flops_per_sample(cfg)
+                        * student["batch"] * student["samples"])
+        bad = _plausibility_check(student["step_ms"], s_flops_step, peak)
+        if bad:
+            student["error"] = bad
+            errors.append("student: " + bad)
+        else:
+            rate = s_flops_step / (student["step_ms"] / 1e3)
+            mfu["student_infer_tflops"] = round(rate / 1e12, 3)
+            mfu["student_infer"] = (round(rate / (peak * 1e12), 4)
+                                    if peak else None)
+    # the on-device kernel canary runs even when timing fails — its
+    # whole purpose is to catch silent corruption independently
+    detail["kernel_check"] = kernel_canary(cfg)
+    if detail["kernel_check"].get("pass") is False:
+        errors.append("kernel_check: per-row kernel validation FAILED "
+                      "(possible Mosaic miscompile — see detail)")
     if full:
-        detail["teacher_train"] = measure_teacher_train(
-            get_config("teacher_lj")
-        )
+        t_cfg = get_config("teacher_lj")
+        detail["teacher_train"] = measure_teacher_train(t_cfg)
         detail["distill_train"] = measure_distill_train(
             get_config("student_iaf")
         )
@@ -499,25 +916,41 @@ def run_bench(case: str = "student_iaf", overrides=None,
         detail["teacher_ar"] = measure_teacher_ar_sampling(
             get_config("teacher_lj")
         )
-        # train fwd+bwd ~= 3x forward FLOPs
-        t_cfg = get_config("teacher_lj")
-        t_rate = (3.0 * teacher_fwd_flops_per_sample(t_cfg)
-                  * detail["teacher_train"]["samples_per_s"])
-        mfu["teacher_train_tflops"] = round(t_rate / 1e12, 3)
-        mfu["teacher_train"] = (round(t_rate / (peak * 1e12), 4)
-                                if peak else None)
+        tt = detail["teacher_train"]
+        if "error" not in tt:
+            # train fwd+bwd ~= 3x forward FLOPs
+            t_flops_step = (3.0 * teacher_fwd_flops_per_sample(t_cfg)
+                            * tt["batch"] * tt["crop_samples"])
+            bad = _plausibility_check(tt["step_ms"], t_flops_step, peak)
+            if bad:
+                tt["error"] = bad
+                errors.append("teacher_train: " + bad)
+            else:
+                rate = t_flops_step / (tt["step_ms"] / 1e3)
+                mfu["teacher_train_tflops"] = round(rate / 1e12, 3)
+                mfu["teacher_train"] = (round(rate / (peak * 1e12), 4)
+                                        if peak else None)
         if jax.local_device_count() > 1:
-            detail["dp_scaling"] = measure_scaling(
+            detail["dp_equivalence"] = dp_equivalence_check(
                 get_config("teacher_lj")
             )
+            detail["dp_scaling"] = measure_scaling(get_config("teacher_lj"))
         else:
-            detail["dp_scaling"] = _dp_scaling_cpu_sim()
+            detail["dp_equivalence"] = _dp_equivalence_cpu_sim()
+        if detail["dp_equivalence"].get("pass") is False:
+            errors.append("dp_equivalence: sharded grads != single-device")
         detail["dp_analytic"] = analytic_dp_efficiency(
             t_cfg, detail["teacher_train"]["step_ms"]
         )
+    for k, v in list(mfu.items()):
+        if isinstance(v, float) and k.endswith(("_infer", "_train")) \
+                and v > 1.0:
+            errors.append(f"mfu.{k} = {v} > 1.0 — physically impossible")
+            mfu[k] = None
     detail["mfu"] = mfu
-    value = student["audio_sec_per_s_per_chip"]
-    return {
+    value = student["audio_sec_per_s_per_chip"] \
+        if "error" not in student else 0.0
+    out = {
         # ONE-LINE driver contract (repo-root bench.py prints this):
         "metric": "student_audio_sec_per_s_per_chip",
         "value": round(value, 2),
@@ -526,15 +959,20 @@ def run_bench(case: str = "student_iaf", overrides=None,
         "vs_baseline": round(value / 100.0, 3),
         "detail": detail,
     }
+    if errors:
+        out["error"] = "; ".join(errors)
+    return out
 
 
 def measure_scaling(cfg: Config, n_iters: int = 4):
     """DP scaling table over the locally visible devices (SURVEY.md §6
     "measurement points: 1 chip, 1 host, N hosts").
 
-    On the single-chip axon environment this yields the 1-chip row only;
-    on a pod slice (or the CPU sim mesh) it measures each power-of-two
-    device count and reports efficiency vs the 1-device row.
+    Only meaningful on REAL multi-device hardware (a pod slice); the
+    single-chip axon environment reports the 1-chip row only, and the
+    CPU sim path now runs `dp_equivalence_check` instead (VERDICT r3
+    weak item 2: virtual devices on oversubscribed host cores measure
+    scheduler jitter, not scaling).
     """
     import numpy as _np
     from jax.sharding import Mesh
@@ -561,10 +999,9 @@ def measure_scaling(cfg: Config, n_iters: int = 4):
             batch_sharding(mesh),
         )
         params = jax.device_put(variables["params"], replicated(mesh))
-        rtt = measure_round_trip_ms()
 
         @jax.jit
-        def chain(params, wav):
+        def chain(params, wav, k):
             x, mel = prepare_batch(wav, cfg)
 
             def body(i, acc):
@@ -580,14 +1017,23 @@ def measure_scaling(cfg: Config, n_iters: int = 4):
                 )
                 return acc + loss + jnp.sqrt(gnorm) * 1e-6
 
-            return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-        dt = _time_chain(lambda: chain(params, wav), n_iters, rtt_ms=rtt)
-        rows.append({"devices": n, "batch": B, "utt_per_s": B / dt,
-                     "step_ms": dt * 1e3})
-    base = rows[0]["utt_per_s"] / rows[0]["devices"]
-    for r in rows:
-        r["efficiency"] = round(
-            (r["utt_per_s"] / r["devices"]) / base, 3
+        dt, meta = _time_chain(
+            lambda k: chain(params, wav, jnp.int32(k)), n_iters
         )
+        if dt is None:
+            rows.append({"devices": n, "batch": B,
+                         "error": meta.get("timing_error"),
+                         "timing": meta})
+            continue
+        rows.append({"devices": n, "batch": B, "utt_per_s": B / dt,
+                     "step_ms": dt * 1e3, "timing": meta})
+    valid = [r for r in rows if "utt_per_s" in r]
+    if valid:
+        base = valid[0]["utt_per_s"] / valid[0]["devices"]
+        for r in valid:
+            r["efficiency"] = round(
+                (r["utt_per_s"] / r["devices"]) / base, 3
+            )
     return rows
