@@ -94,6 +94,15 @@ def cfg_gauss(cfg):
     return c
 
 
+def test_golden_fixtures_share_clip_and_mel(g, gg):
+    """The two fixture files must be generated from the identical
+    clip/mel: tiny_gaussian_v1 duplicates them so a DSP change followed
+    by a partial regeneration (--only-gaussian) cannot silently
+    desynchronize the families (ADVICE r3)."""
+    np.testing.assert_array_equal(g["clip"], gg["clip"])
+    np.testing.assert_array_equal(g["mel"], gg["mel"])
+
+
 def test_golden_gaussian_teacher_allclose(g, gg, cfg_gauss):
     """Pins the Gaussian/ClariNet family semantics (head params +
     continuous NLL) the way tiny_v1 pins MoL — same clip/mel/init keys

@@ -55,33 +55,31 @@ def main() -> None:
     x = jnp.clip(dsp.preemphasis(wav, cfg.dsp.preemphasis), -1, 1)
     mel = dsp.mel_spectrogram(x, cfg.dsp)[:, : 4096 // cfg.dsp.hop_length]
 
-    teacher, t_vars = init_teacher(cfg, jax.random.PRNGKey(0))
-    t_params = teacher.apply(t_vars, x, mel)
-    nll = mol.discretized_mol_loss(
-        x, t_params, log_scale_min=cfg.teacher.log_scale_min
-    )
-
-    student, s_vars = init_student(cfg, jax.random.PRNGKey(1))
-    z = mol.sample_logistic(jax.random.PRNGKey(7), x.shape)
-    s_out = student.apply(s_vars, z, mel)
-
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     only_gaussian = "--only-gaussian" in sys.argv
-    _savez_mol = ((lambda *a, **kw: None) if only_gaussian
-                  else np.savez_compressed)
-    _savez_mol(
-        OUT,
-        clip=np.asarray(clip, np.float32),
-        mel=np.asarray(mel[0], np.float32),
-        teacher_mol=np.asarray(t_params[0, :512], np.float32),
-        teacher_nll=np.float32(nll),
-        z=np.asarray(z[0], np.float32),
-        student_wav=np.asarray(s_out.wav[0], np.float32),
-        student_log_det=np.asarray(s_out.log_det[0], np.float32),
-    )
     if only_gaussian:
         print(f"skipped {OUT} (--only-gaussian)")
     else:
+        teacher, t_vars = init_teacher(cfg, jax.random.PRNGKey(0))
+        t_params = teacher.apply(t_vars, x, mel)
+        nll = mol.discretized_mol_loss(
+            x, t_params, log_scale_min=cfg.teacher.log_scale_min
+        )
+
+        student, s_vars = init_student(cfg, jax.random.PRNGKey(1))
+        z = mol.sample_logistic(jax.random.PRNGKey(7), x.shape)
+        s_out = student.apply(s_vars, z, mel)
+
+        np.savez_compressed(
+            OUT,
+            clip=np.asarray(clip, np.float32),
+            mel=np.asarray(mel[0], np.float32),
+            teacher_mol=np.asarray(t_params[0, :512], np.float32),
+            teacher_nll=np.float32(nll),
+            z=np.asarray(z[0], np.float32),
+            student_wav=np.asarray(s_out.wav[0], np.float32),
+            student_log_det=np.asarray(s_out.log_det[0], np.float32),
+        )
         print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
 
     # Gaussian/ClariNet family fixture (tiny_gaussian_v1.npz): pins the
@@ -106,6 +104,12 @@ def main() -> None:
 
     np.savez_compressed(
         OUT_GAUSS,
+        # clip/mel duplicated from tiny_v1 so the two fixtures cannot
+        # silently desynchronize if regenerated separately (a DSP change
+        # + --only-gaussian would otherwise leave tiny_v1 stale);
+        # tests/test_goldens.py asserts they match
+        clip=np.asarray(clip, np.float32),
+        mel=np.asarray(mel[0], np.float32),
         teacher_gauss=np.asarray(tg_params[0, :512], np.float32),
         teacher_nll=np.float32(nll_g),
         z=np.asarray(z_g[0], np.float32),
