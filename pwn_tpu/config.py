@@ -72,6 +72,15 @@ class TeacherConfig:
     # Mel upsampling: product of strides must equal DSPConfig.hop_length.
     upsample_strides: Tuple[int, ...] = (16, 16)
     upsample_kernel_mult: int = 2  # kernel = stride * mult per stage
+    # Weight-normalize the upsampler's transposed-conv kernels
+    # (ops/norm.py; the reference's `modules.py::normalize` wrapper [R]).
+    # The gated stack stays unnormalized by design — its flat param
+    # layout is shared by the Pallas kernels / AR sampler / TP rules
+    # (see models/modules.py::UpsampleNet).  Measured on tiny_teacher
+    # (CPU, 200 steps, same seed): NLL 5.994 (off) vs 5.987 (on) — no
+    # stability difference on this model; default off (goldens pin the
+    # plain parameterization).  Teacher and student share the flag.
+    upsample_weight_norm: bool = False
     # Minimum log-scale for MoL (numerical floor, fp32 loss).
     log_scale_min: float = -9.0
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; losses in fp32
@@ -298,7 +307,24 @@ def _multihost_dp() -> Config:
 
 
 def _large_student_sharded() -> Config:
-    """configs[4] (stretch): 6 flows, 128 ch, 24 kHz, TP-sharded stack."""
+    """configs[4] (stretch): 6 flows, 128 ch, 24 kHz, sharded across
+    chips.
+
+    TRAINING shards the BATCH (DP), not the stack: the model is
+    activation-dominated, so Megatron gate-channel TP pays a ~100 MB
+    (B=8,T,C+S) psum per layer against ~0.36 ms of layer compute —
+    analytic efficiency 13.7% at model=2 vs 98.5% for DP's single
+    13-50 MB gradient all-reduce (benchmarks.analytic_tp_efficiency;
+    BASELINE.md r4).  DP also keeps the fused Pallas train kernels,
+    measured on v5e at this preset (batch 8 x 24576 per chip): teacher
+    26.2 vs 69.0 ms/step XLA, distill 85.8 vs 266.9 — 2.6-3.1x that
+    mesh.model>1 would forfeit (GSPMD cannot partition pallas_call).
+    The per-chip mega_train activation save is 3.9 GiB of 16 GiB HBM at
+    batch 8, so nothing forces TP.  Generation/serving still shards
+    over every chip (batch shard_map, parallel/tp.py; SP for beyond-HBM
+    utterances), and TP *state* sharding remains available via
+    parallel.tp.shard_state for storage.
+    """
     return Config(
         name="large_student_sharded",
         dsp=DSPConfig(sample_rate=24000),
@@ -309,7 +335,7 @@ def _large_student_sharded() -> Config:
         distill=DistillConfig(),
         train=TrainConfig(global_batch_size=64, crop_samples=24576,
                           learning_rate=5e-4),
-        mesh=MeshConfig(data=-1, model=2),
+        mesh=MeshConfig(data=-1, model=1),
     )
 
 

@@ -360,16 +360,42 @@ class UpsampleNet(nn.Module):
     channels: int
     kernel_mult: int = 2
     dtype: jnp.dtype = jnp.float32
+    # Weight-normalized kernels (g * v / ||v||, ops/norm.py — the
+    # reference's `normalize` wrapper [R]).  Wired HERE and not into the
+    # gated stack: the stack's flat param layout (w_dilated/w_cond/...)
+    # is shared by the scan path, three Pallas kernel families, the AR
+    # sampler, and the TP sharding rules (CLAUDE.md invariants) — a
+    # reparameterization there would fork every kernel for a technique
+    # the models demonstrably train without.  The upsampler is pure XLA
+    # on every path, so the flag is safe end-to-end.  Default off: the
+    # goldens pin the plain parameterization.
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
+        from pwn_tpu.ops.norm import weight_norm as _wn
+
         x = mel.astype(self.dtype)
         for i, stride in enumerate(self.strides):
-            kernel = self.param(
-                f"kernel_{i}",
-                _conv_kernel_init,
-                (stride * self.kernel_mult, x.shape[-1], self.channels),
-            )
+            kshape = (stride * self.kernel_mult, x.shape[-1],
+                      self.channels)
+            if self.weight_norm:
+                v = self.param(f"v_{i}", _conv_kernel_init, kshape)
+                # g init = ||v||: the initial function equals the plain
+                # conv's (same reparameterization trick as
+                # ops/norm.py::WeightNormConv1d)
+                g = self.param(
+                    f"g_{i}",
+                    lambda key, _: jnp.sqrt(jnp.sum(
+                        jnp.square(_conv_kernel_init(key, kshape)),
+                        axis=(0, 1),
+                    )),
+                    (self.channels,),
+                )
+                kernel = _wn(v, g)
+            else:
+                kernel = self.param(f"kernel_{i}", _conv_kernel_init,
+                                    kshape)
             bias = self.param(
                 f"bias_{i}", jax.nn.initializers.zeros, (self.channels,)
             )

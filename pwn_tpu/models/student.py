@@ -81,6 +81,7 @@ class StudentIAF(nn.Module):
             channels=self.config.dsp.n_mels,
             kernel_mult=tc.upsample_kernel_mult,
             dtype=dtype,
+            weight_norm=tc.upsample_weight_norm,
             name="upsample",
         )
         self.flows = [
