@@ -25,8 +25,15 @@ Everything else (front/head 1x1s, upsampler, MoL head) is replicated
 (the conditioning network stays replicated per the north star).
 
 The fused Pallas path cannot be auto-partitioned by GSPMD, so TP configs
-run the XLA layer path (`fused_layers="off"` — large_student_sharded
-preset).
+run the XLA layer path (`fused_layers="off"`).  That cost — plus a
+~100 MB per-layer activation psum against sub-ms layer compute (this
+model is activation-dominated; `benchmarks.analytic_tp_efficiency`
+predicts 13.7% TP training efficiency vs 98.5% for DP) — is why
+`large_student_sharded` TRAINS data-parallel (mesh model=1, measured
+numbers in BASELINE.md r4).  TP remains first-class for what it is good
+for here: state storage sharding (`shard_state`) and the batch-sharded
+generation below; correctness is pinned by tests/test_tp.py and the
+driver dryrun either way.
 """
 
 from __future__ import annotations
