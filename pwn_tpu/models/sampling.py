@@ -222,10 +222,17 @@ def fast_sample_pallas(
     mel: jax.Array,
     temperature: float = 1.0,
     interpret: bool | None = None,
+    weights_dtype: str | None = None,
 ) -> jax.Array:
     """AR-sample with the whole-loop fused Pallas kernel
     (ops/pallas/ar_sampler.py): conv queues + all stack weights resident
     in VMEM across the full waveform; one kernel launch total.
+
+    `weights_dtype` overrides the VMEM-stored weight dtype (the kernel's
+    inner compute is fp32 either way): "float32" removes the bf16
+    weight-quantization component of long-horizon feedback drift at the
+    cost of doubling the weights' VMEM footprint — measured cost and
+    drift effect in BASELINE.md (r4 AR-drift study).
     """
     from pwn_tpu.ops.pallas.ar_sampler import (
         ar_sample_pallas,
@@ -244,7 +251,7 @@ def fast_sample_pallas(
     noise = draw_noise(cfg, key, T, B)
     weights = stack_teacher_weights(
         _stack_params(variables), tc.n_layers,
-        dtype=jnp.dtype(tc.compute_dtype),
+        dtype=jnp.dtype(weights_dtype or tc.compute_dtype),
     )
     return ar_sample_pallas(
         cond,

@@ -65,3 +65,31 @@ def test_pallas_ar_temperature_zeroish(rng):
     )
     a = np.asarray(wav)
     assert np.isfinite(a).all() and np.abs(a).max() <= 1.0
+
+
+def test_weights_dtype_override():
+    """`weights_dtype` overrides the kernel's VMEM weight storage
+    (fp32 variant for long-horizon drift, BASELINE.md r4): on an fp32
+    config it is a no-op; forcing bf16 perturbs output only at the
+    quantization level."""
+    import numpy as np
+
+    from pwn_tpu.config import get_config
+    from pwn_tpu.models import sampling
+    from pwn_tpu.models.teacher import init_teacher
+
+    cfg = get_config("tiny_teacher")
+    model, v = init_teacher(cfg, jax.random.PRNGKey(0))
+    mel = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(0, 1, (2, 2, cfg.dsp.n_mels)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(sampling.fast_sample_pallas(model, v, key, mel))
+    b = np.asarray(sampling.fast_sample_pallas(
+        model, v, key, mel, weights_dtype="float32"))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(sampling.fast_sample_pallas(
+        model, v, key, mel, weights_dtype="bfloat16"))
+    assert not np.array_equal(a, c)
+    assert np.abs(a - c).max() < 0.1
