@@ -118,6 +118,10 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port", type=int, default=8600)
     p_srv.add_argument("--chunk-frames", type=int, default=64,
                        help="mel frames per streamed chunk")
+    p_srv.add_argument("--max-pending", type=int, default=4,
+                       help="concurrent syntheses before 503 shedding")
+    p_srv.add_argument("--max-body-mb", type=int, default=64,
+                       help="request-body cap in MB (413 past it)")
     p_srv.add_argument("overrides", nargs="*")
 
     p_bench = sub.add_parser("bench", help="run the benchmark suite")
@@ -267,7 +271,9 @@ def main(argv=None) -> int:
 
         cfg = _load_config(args.case, args.overrides)
         serve_forever(cfg, args.workdir, args.host, args.port,
-                      chunk_frames=args.chunk_frames)
+                      chunk_frames=args.chunk_frames,
+                      max_pending=args.max_pending,
+                      max_body_bytes=args.max_body_mb * 2 ** 20)
         return 0
 
     if args.cmd == "bench":

@@ -336,8 +336,11 @@ def make_server(service: VocoderService, host: str = "127.0.0.1",
 
 
 def serve_forever(cfg: Config, workdir: str, host: str, port: int,
-                  chunk_frames: int = 64) -> None:
+                  chunk_frames: int = 64, max_pending: int = 4,
+                  max_body_bytes: int = 64 * 2 ** 20) -> None:
     service = VocoderService.from_workdir(cfg, workdir, chunk_frames)
+    service.max_pending = max_pending
+    service.max_body_bytes = max_body_bytes
     # warm the window jit so the first request pays no compile
     warm = np.zeros(
         max((chunk_frames + 8) * cfg.dsp.hop_length * 2,
