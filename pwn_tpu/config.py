@@ -77,9 +77,10 @@ class TeacherConfig:
     # The gated stack stays unnormalized by design — its flat param
     # layout is shared by the Pallas kernels / AR sampler / TP rules
     # (see models/modules.py::UpsampleNet).  Measured on tiny_teacher
-    # (CPU, 200 steps, same seed): NLL 5.994 (off) vs 5.987 (on) — no
-    # stability difference on this model; default off (goldens pin the
-    # plain parameterization).  Teacher and student share the flag.
+    # (CPU, 400 adam steps, 3 seeds): NLL 8.71 +- 0.6 (off) vs
+    # 8.27 +- 0.65 (on) — parity within seed noise, no stability
+    # difference on this model; default off (goldens pin the plain
+    # parameterization).  Teacher and student share the flag.
     upsample_weight_norm: bool = False
     # Minimum log-scale for MoL (numerical floor, fp32 loss).
     log_scale_min: float = -9.0
