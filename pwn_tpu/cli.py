@@ -256,6 +256,13 @@ def main(argv=None) -> int:
     if args.cmd == "eval":
         import json
 
+        # host-scale metric math on two short wavs: running it through
+        # the axon TPU tunnel costs minutes of remote compiles + RTTs
+        # (measured ~7-12 min/eval vs seconds on CPU, r4)
+        from pwn_tpu.utils.platform import force_cpu
+
+        force_cpu()
+
         from pwn_tpu.evaluate import copy_synthesis_report
         from pwn_tpu.utils.audio_io import read_wav
 

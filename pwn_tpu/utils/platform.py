@@ -43,3 +43,16 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
         return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def force_cpu() -> None:
+    """Pin this process to the CPU backend (callable BEFORE any jax
+    backend initialization).  For host-scale work — e.g. the `eval`
+    CLI's DSP metrics on two short wavs — where dispatching dozens of
+    small graphs through the axon TPU tunnel costs minutes of remote
+    compiles + RTTs for milliseconds of math (measured: ~7-12 min per
+    eval on the tunnel vs seconds on CPU, r4)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
