@@ -93,6 +93,13 @@ def main(argv=None) -> int:
                        help="teacher AR sampler implementation (auto: "
                             "the fused Pallas kernel on TPU — measured "
                             "4-6x over the scan path — scan on CPU)")
+    p_gen.add_argument("--ar-weights-dtype",
+                       choices=["bfloat16", "float32"],
+                       default=None,
+                       help="VMEM weight-storage dtype for the pallas "
+                            "AR backend (float32 = unrounded weights; "
+                            "inner compute is fp32 either way; default "
+                            "= the preset's compute dtype)")
     p_gen.add_argument("--chunk-frames", type=int, default=0,
                        help="student streaming mode: synthesize in "
                             "chunks of this many mel frames with "
@@ -205,7 +212,8 @@ def main(argv=None) -> int:
             _, params, _ = load_teacher_params(cfg, args.workdir)
             out = generate_teacher(cfg, params, mel, key,
                                    args.temperature,
-                                   ar_backend=args.ar_backend)
+                                   ar_backend=args.ar_backend,
+                                   ar_weights_dtype=args.ar_weights_dtype)
         else:
             import os
 

@@ -182,6 +182,7 @@ def generate_teacher(
     key: jax.Array,
     temperature: float = 1.0,
     ar_backend: str = "auto",
+    ar_weights_dtype: str | None = None,
 ) -> np.ndarray:
     """AR teacher synthesis.
 
@@ -192,6 +193,12 @@ def generate_teacher(
     v5e (r2 TPU session 3, batch 8): pallas wins at EVERY size —
     5.7 vs 34.8 us/step at teacher_lj (24x128), 10.5 vs 66.7 at 48
     layers, 7.5 vs 30.7 at 256 channels — hence the default.
+
+    ar_weights_dtype: VMEM weight-storage dtype override for the pallas
+    backend ("float32" stores the stack weights unrounded; inner compute
+    is fp32 either way).  None keeps the preset's compute dtype.  See
+    the BASELINE.md round-4 long-horizon drift table for when this
+    matters.
     """
     model = make_teacher(cfg)
     if ar_backend == "auto":
@@ -202,6 +209,7 @@ def generate_teacher(
         wav = sampling.fast_sample_pallas(
             model, {"params": teacher_params}, key, mel,
             temperature=temperature,
+            weights_dtype=ar_weights_dtype,
         )
     else:
         wav = sampling.fast_sample(
