@@ -85,6 +85,16 @@ def main(argv=None) -> int:
                        help="source wav for copy-synthesis mel "
                             "(default: synthetic clip)")
     p_gen.add_argument("--output", default="generated.wav")
+    p_gen.add_argument("--mel", default=None,
+                       help="condition on a (frames, n_mels) float .npy "
+                            "mel instead of a source wav — the "
+                            "production vocoder input (convention: "
+                            "generate.coerce_mel; produce one with "
+                            "--dump-mel)")
+    p_gen.add_argument("--dump-mel", default=None,
+                       help="also write the conditioning mel to this "
+                            ".npy path (calibration artifact for "
+                            "--mel / npy serving)")
     p_gen.add_argument("--seconds", type=float, default=1.0)
     p_gen.add_argument("--temperature", type=float, default=1.0)
     p_gen.add_argument("--ar-backend",
@@ -193,6 +203,7 @@ def main(argv=None) -> int:
     if args.cmd == "generate":
         from pwn_tpu.data import SyntheticTones
         from pwn_tpu.generate import (
+            coerce_mel,
             generate_student,
             generate_teacher,
             mel_from_wav,
@@ -202,11 +213,18 @@ def main(argv=None) -> int:
 
         cfg = _load_config(args.case, args.overrides)
         sr = cfg.dsp.sample_rate
-        if args.source:
-            wav, _ = read_wav(args.source, target_sr=sr)
+        if args.mel:
+            mel = coerce_mel(cfg, np.load(args.mel, allow_pickle=False))
         else:
-            wav = SyntheticTones(1, int(args.seconds * sr), sr, seed=42)[0]
-        mel = mel_from_wav(cfg, wav.astype(np.float32))
+            if args.source:
+                wav, _ = read_wav(args.source, target_sr=sr)
+            else:
+                wav = SyntheticTones(
+                    1, int(args.seconds * sr), sr, seed=42)[0]
+            mel = mel_from_wav(cfg, wav.astype(np.float32))
+        if args.dump_mel:
+            np.save(args.dump_mel, np.asarray(mel[0], dtype=np.float32))
+            print(f"wrote mel {tuple(mel.shape[1:])} -> {args.dump_mel}")
         key = jax.random.PRNGKey(0)
         if args.model == "teacher":
             _, params, _ = load_teacher_params(cfg, args.workdir)

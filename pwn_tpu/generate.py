@@ -34,6 +34,33 @@ def mel_from_wav(cfg: Config, wav: np.ndarray) -> jax.Array:
     return mel[:, : wav.shape[-1] // cfg.dsp.hop_length]
 
 
+def coerce_mel(cfg: Config, mel: np.ndarray) -> jax.Array:
+    """Externally supplied mel (F, n_mels) or (1, F, n_mels) float ->
+    conditioning array.
+
+    This is the production vocoder input path: a TTS acoustic model
+    hands the vocoder a mel directly (the reference only did wav
+    copy-synthesis, SURVEY.md §3.2).  The expected convention is
+    exactly `utils/dsp.mel_spectrogram` output — n_mels =
+    cfg.dsp.n_mels bands (Slaney mel, fmin/fmax per config), dB-scale
+    normalized to [0, 1] via `normalize_db`, computed on a
+    preemphasized source.  `cli generate --dump-mel` emits mels in
+    this convention for calibration.
+    """
+    arr = np.asarray(mel, dtype=np.float32)
+    if arr.ndim == 2:
+        arr = arr[None]
+    if (arr.ndim != 3 or arr.shape[0] != 1
+            or arr.shape[-1] != cfg.dsp.n_mels):
+        raise ValueError(
+            f"mel must be (frames, {cfg.dsp.n_mels}) or "
+            f"(1, frames, {cfg.dsp.n_mels}); got {arr.shape}"
+        )
+    if not np.isfinite(arr).all():
+        raise ValueError("mel contains non-finite values")
+    return jnp.asarray(arr)
+
+
 def generate_student(
     cfg: Config,
     student_params: Any,

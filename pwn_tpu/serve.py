@@ -16,11 +16,14 @@ endpoint:
 Protocol (stdlib-only, chunked transfer):
 
 - ``GET /healthz``  -> ``{"status": "ok", ...}``
-- ``POST /synthesize[?temperature=T&chunk_frames=N]`` with a RIFF wav
-  body (copy-synthesis conditioning, like the reference's generate)
-  -> streamed raw little-endian PCM16 mono; sample rate in the
-  ``X-Sample-Rate`` response header.  Chunks are produced as the TPU
-  emits them — playback can start ~one chunk after the request.
+- ``POST /synthesize[?temperature=T&chunk_frames=N]`` with either a
+  RIFF wav body (copy-synthesis conditioning, like the reference's
+  generate) or an ``.npy`` body holding a ``(frames, n_mels)`` float
+  mel (the production vocoder input — a TTS acoustic model's output;
+  convention at ``generate.coerce_mel``) -> streamed raw little-endian
+  PCM16 mono; sample rate in the ``X-Sample-Rate`` response header.
+  Chunks are produced as the TPU emits them — playback can start ~one
+  chunk after the request.
 
 One device, one compute stream: requests serialize on a lock; the
 HTTP layer is threaded so health checks never queue behind synthesis.
@@ -141,8 +144,21 @@ class VocoderService:
     def synthesize_chunks(self, wav: np.ndarray, temperature: float,
                           chunk_frames: Optional[int] = None):
         """Yield deemphasized float32 waveform chunks for a conditioning
-        waveform.  Utterances shorter than one streaming window fall
-        back to a single whole-call chunk.
+        WAVEFORM (copy-synthesis: mel is computed on device first)."""
+        from pwn_tpu.generate import mel_from_wav
+
+        return self.synthesize_chunks_from_mel(
+            mel_from_wav(self.cfg, wav.astype(np.float32)),
+            temperature, chunk_frames,
+        )
+
+    def synthesize_chunks_from_mel(self, mel, temperature: float,
+                                   chunk_frames: Optional[int] = None):
+        """Yield deemphasized float32 waveform chunks for a conditioning
+        mel (1, F, n_mels) — the production vocoder input (a TTS
+        acoustic model's output; convention documented at
+        `generate.coerce_mel`).  Utterances shorter than one streaming
+        window fall back to a single whole-call chunk.
 
         Device work runs in a producer thread draining into a queue, so
         the device lock is held only while the chip computes — a client
@@ -153,12 +169,10 @@ class VocoderService:
 
         from pwn_tpu.generate import (
             generate_student,
-            mel_from_wav,
             stream_student_chunks,
         )
 
         cf = chunk_frames or self.chunk_frames
-        mel = mel_from_wav(self.cfg, wav.astype(np.float32))
         # per-request noise stream; itertools.count is atomic, so two
         # threads entering together still get distinct keys
         req_id = next(self._counter)
@@ -270,24 +284,35 @@ def _make_handler(service: VocoderService):
                              f"{service.max_body_bytes}"
                 })
                 return
+            mel = None
             try:
                 temperature = float(q.get("temperature", ["1.0"])[0])
                 cf = int(q.get("chunk_frames",
                                [str(service.chunk_frames)])[0])
                 body = self.rfile.read(n)
-                in_sr, data = wavfile.read(io.BytesIO(body))
+                if body[:6] == b"\x93NUMPY":
+                    # .npy body = direct mel conditioning (the
+                    # production vocoder input; convention documented
+                    # at generate.coerce_mel / README)
+                    from pwn_tpu.generate import coerce_mel
+
+                    mel = coerce_mel(service.cfg, np.load(
+                        io.BytesIO(body), allow_pickle=False))
+                else:
+                    in_sr, data = wavfile.read(io.BytesIO(body))
             except Exception as e:
                 self._json(400, {"error": f"bad request: {e!r}"})
                 return
-            if data.dtype == np.int16:
-                wav = data.astype(np.float32) / 32768.0
-            else:
-                wav = data.astype(np.float32)
-            if wav.ndim == 2:
-                wav = wav.mean(axis=1)
-            if in_sr != sr:
-                g = int(np.gcd(sr, in_sr))
-                wav = resample_poly(wav, sr // g, in_sr // g)
+            if mel is None:
+                if data.dtype == np.int16:
+                    wav = data.astype(np.float32) / 32768.0
+                else:
+                    wav = data.astype(np.float32)
+                if wav.ndim == 2:
+                    wav = wav.mean(axis=1)
+                if in_sr != sr:
+                    g = int(np.gcd(sr, in_sr))
+                    wav = resample_poly(wav, sr // g, in_sr // g)
             if not service.try_admit():
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
@@ -301,8 +326,12 @@ def _make_handler(service: VocoderService):
                 return
             try:
                 try:
-                    chunks = service.synthesize_chunks(
-                        wav, temperature, cf
+                    chunks = (
+                        service.synthesize_chunks_from_mel(
+                            mel, temperature, cf)
+                        if mel is not None
+                        else service.synthesize_chunks(
+                            wav, temperature, cf)
                     )
                     first = next(chunks)  # surface errors before headers
                 except Exception as e:

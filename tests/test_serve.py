@@ -254,3 +254,58 @@ def test_abandoned_consumer_releases_device_lock():
     acquired = service.lock.acquire(timeout=30)
     assert acquired, "producer still holds the device lock"
     service.lock.release()
+
+
+def _mel_body(mel):
+    buf = io.BytesIO()
+    np.save(buf, mel)
+    return buf.getvalue()
+
+
+def test_synthesize_from_mel_npy(server):
+    """An .npy body conditions the vocoder on the mel directly (the
+    production TTS-acoustic-model input), equal in output length and
+    convention to the wav path over the same mel."""
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    wav = 0.25 * np.sin(
+        2 * np.pi * 330 * np.arange(2 * sr) / sr
+    ).astype(np.float32)
+    from pwn_tpu.generate import mel_from_wav
+
+    mel = np.asarray(mel_from_wav(CFG, wav)[0], np.float32)  # (F, n_mels)
+    conn, r = _post(srv, "/synthesize?temperature=0.8", _mel_body(mel))
+    assert r.status == 200
+    assert r.getheader("X-Sample-Rate") == str(sr)
+    out = np.frombuffer(r.read(), "<i2").astype(np.float32) / 32767.0
+    conn.close()
+    hop = CFG.dsp.hop_length
+    F = mel.shape[0]
+    assert len(out) == (F - F % 8) * hop
+    assert np.isfinite(out).all() and np.abs(out).max() > 1e-4
+
+
+def test_bad_mel_rejected_400(server):
+    srv, service = server
+    # wrong band count
+    conn, r = _post(srv, "/synthesize",
+                    _mel_body(np.zeros((40, 7), np.float32)))
+    assert r.status == 400
+    r.read(); conn.close()
+    # non-finite values
+    bad = np.full((40, CFG.dsp.n_mels), np.nan, np.float32)
+    conn, r = _post(srv, "/synthesize", _mel_body(bad))
+    assert r.status == 400
+    r.read(); conn.close()
+
+
+def test_coerce_mel_shapes():
+    from pwn_tpu.generate import coerce_mel
+
+    m = np.zeros((12, CFG.dsp.n_mels), np.float32)
+    assert coerce_mel(CFG, m).shape == (1, 12, CFG.dsp.n_mels)
+    assert coerce_mel(CFG, m[None]).shape == (1, 12, CFG.dsp.n_mels)
+    with pytest.raises(ValueError):
+        coerce_mel(CFG, np.zeros((12, CFG.dsp.n_mels + 1), np.float32))
+    with pytest.raises(ValueError):
+        coerce_mel(CFG, np.zeros((2, 12, CFG.dsp.n_mels), np.float32))
