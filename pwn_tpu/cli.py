@@ -95,6 +95,22 @@ def main(argv=None) -> int:
                        help="also write the conditioning mel to this "
                             ".npy path (calibration artifact for "
                             "--mel / npy serving)")
+    p_gen.add_argument("--source-dir", default=None,
+                       help="batch mode: vocode every .wav under this "
+                            "dir (student only) at batched device "
+                            "throughput; see --output-dir")
+    p_gen.add_argument("--mel-dir", default=None,
+                       help="batch mode over (frames, n_mels) .npy "
+                            "mels instead of wavs")
+    p_gen.add_argument("--output-dir", default=None,
+                       help="where batch mode writes <stem>.wav "
+                            "(default: alongside --output)")
+    p_gen.add_argument("--batch-size", type=int, default=8,
+                       help="batch-mode device batch (8 is the "
+                            "measured throughput sweet spot)")
+    p_gen.add_argument("--bucket-frames", type=int, default=64,
+                       help="batch-mode length buckets, in mel frames "
+                            "(one flow-stack compile per bucket)")
     p_gen.add_argument("--seconds", type=float, default=1.0)
     p_gen.add_argument("--temperature", type=float, default=1.0)
     p_gen.add_argument("--ar-backend",
@@ -213,6 +229,71 @@ def main(argv=None) -> int:
 
         cfg = _load_config(args.case, args.overrides)
         sr = cfg.dsp.sample_rate
+
+        def restore_student_params():
+            import os
+
+            from pwn_tpu.training.common import serving_params
+            from pwn_tpu.training.loop import abstract_state_template
+            from pwn_tpu.utils.checkpoint import CheckpointManager
+
+            # shape-only template: skips the ~55 s fused-kernel compile
+            # a real init would pay just to be overwritten by restore
+            state = abstract_state_template(cfg, "student")
+            mngr = CheckpointManager(os.path.join(
+                os.path.abspath(args.workdir), "ckpt_student"))
+            state, _ = mngr.restore(state)
+            mngr.close()
+            # commit the restored host tree to device once — otherwise
+            # every jit call re-uploads it (loop.py run_distillation
+            # has the measured numbers)
+            return jax.device_put(serving_params(state))
+
+        if args.source_dir or args.mel_dir:
+            import glob
+            import os
+            import time
+
+            from pwn_tpu.generate import vocode_many
+
+            if args.model == "teacher":
+                print("batch mode is student-only", file=sys.stderr)
+                return 2
+            if args.mel_dir:
+                paths = sorted(glob.glob(
+                    os.path.join(args.mel_dir, "*.npy")))
+                mels = [np.load(p, allow_pickle=False) for p in paths]
+            else:
+                paths = sorted(glob.glob(
+                    os.path.join(args.source_dir, "*.wav")))
+                mels = [np.asarray(mel_from_wav(
+                    cfg, read_wav(p, target_sr=sr)[0].astype(
+                        np.float32))[0]) for p in paths]
+            if not paths:
+                print("batch mode: no inputs found", file=sys.stderr)
+                return 2
+            out_dir = args.output_dir or os.path.dirname(
+                os.path.abspath(args.output))
+            os.makedirs(out_dir, exist_ok=True)
+            gen_params = restore_student_params()
+            t0 = time.perf_counter()
+            wavs = vocode_many(
+                cfg, gen_params, mels, jax.random.PRNGKey(0),
+                temperature=args.temperature,
+                batch_size=args.batch_size,
+                bucket_frames=args.bucket_frames,
+            )
+            wall = time.perf_counter() - t0
+            total = 0.0
+            for p, w in zip(paths, wavs):
+                stem = os.path.splitext(os.path.basename(p))[0]
+                write_wav(os.path.join(out_dir, stem + ".wav"), w, sr)
+                total += len(w) / sr
+            print(f"vocoded {len(paths)} utterances, {total:.1f}s audio "
+                  f"in {wall:.1f}s wall ({total / wall:.0f}x realtime "
+                  f"incl. compile) -> {out_dir}")
+            return 0
+
         if args.mel:
             mel = coerce_mel(cfg, np.load(args.mel, allow_pickle=False))
         else:
@@ -233,25 +314,7 @@ def main(argv=None) -> int:
                                    ar_backend=args.ar_backend,
                                    ar_weights_dtype=args.ar_weights_dtype)
         else:
-            import os
-
-            from pwn_tpu.training.loop import abstract_state_template
-            from pwn_tpu.utils.checkpoint import CheckpointManager
-
-            # shape-only template: skips the ~55 s fused-kernel compile
-            # a real init would pay just to be overwritten by restore
-            state = abstract_state_template(cfg, "student")
-            mngr = CheckpointManager(
-                os.path.join(os.path.abspath(args.workdir), "ckpt_student")
-            )
-            state, _ = mngr.restore(state)
-            mngr.close()
-            from pwn_tpu.training.common import serving_params
-
-            # commit the restored host tree to device once — otherwise
-            # every streaming-chunk jit call re-uploads it (loop.py
-            # run_distillation has the measured numbers)
-            gen_params = jax.device_put(serving_params(state))
+            gen_params = restore_student_params()
             if args.chunk_frames:
                 # streaming synthesis: chunks arrive incrementally (a
                 # server would ship them as they come, carrying the

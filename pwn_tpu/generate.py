@@ -87,6 +87,82 @@ def generate_student(
     return np.asarray(wav[0])
 
 
+@functools.lru_cache(maxsize=4)
+def _vocode_fns(cfg: Config):
+    model = make_student(cfg)
+    up = jax.jit(lambda p, mel: model.apply(
+        {"params": p}, mel, method="upsample_cond"))
+    flows = jax.jit(lambda p, z, cond: model.apply(
+        {"params": p}, z, cond, method="flows_from_z"))
+    return up, flows
+
+
+def vocode_many(
+    cfg: Config,
+    student_params: Any,
+    mels,
+    key: jax.Array,
+    temperature: float = 1.0,
+    batch_size: int = 8,
+    bucket_frames: int = 64,
+):
+    """Batch-vocode many variable-length utterances at the device's
+    batched throughput (the single-utterance path leaves most of the
+    chip idle — the BASELINE.md student numbers are batch 8).
+
+    Items are bucketed by length (rounded up to `bucket_frames`) and
+    run through the flow stack in `batch_size` groups — one compile per
+    distinct bucket, reused across runs via the persistent cache.  The
+    per-item result is EXACT, independent of batch composition and
+    padding: the conditioning upsampler (the only non-causal module)
+    runs per item at its TRUE length, and the flow stack is causal over
+    (z, cond), so zero-padded tails and zero batch rows cannot reach a
+    real sample.  Item i's waveform equals
+    `generate_from_z(z_i[:, :T_i], mel_i)` for
+    `z_i = sample_base_noise(cfg, fold_in(key, i), (1, bucket_len)) *
+    temperature` (pinned by tests/test_streaming.py).
+
+    mels: sequence of (F_i, n_mels) or (1, F_i, n_mels) arrays
+    (convention: `coerce_mel`).  Returns a list of (T_i,) float32
+    deemphasized numpy waveforms, order-preserving.
+    """
+    hop = cfg.dsp.hop_length
+    up, flows = _vocode_fns(cfg)
+    items = [coerce_mel(cfg, m) for m in mels]
+    buckets: dict = {}
+    for i, m in enumerate(items):
+        fb = -(-m.shape[1] // bucket_frames) * bucket_frames
+        buckets.setdefault(fb, []).append(i)
+
+    out: list = [None] * len(items)
+    for fb in sorted(buckets):
+        idxs = buckets[fb]
+        Tb = fb * hop
+        for at in range(0, len(idxs), batch_size):
+            group = idxs[at: at + batch_size]
+            conds, zs = [], []
+            for i in group:
+                c = up(student_params, items[i])  # (1, T_i, C)
+                conds.append(jnp.pad(
+                    c, ((0, 0), (0, Tb - c.shape[1]), (0, 0))))
+                zs.append(sample_base_noise(
+                    cfg, jax.random.fold_in(key, i), (1, Tb)
+                ) * temperature)
+            pad_rows = batch_size - len(group)
+            cond = jnp.concatenate(conds, axis=0)
+            z = jnp.concatenate(zs, axis=0)
+            if pad_rows:
+                cond = jnp.pad(cond, ((0, pad_rows), (0, 0), (0, 0)))
+                z = jnp.pad(z, ((0, pad_rows), (0, 0)))
+            wav = dsp.deemphasis(
+                flows(student_params, z, cond), cfg.dsp.preemphasis
+            )
+            wav = np.asarray(wav, np.float32)
+            for row, i in enumerate(group):
+                out[i] = wav[row, : items[i].shape[1] * hop]
+    return out
+
+
 @functools.lru_cache(maxsize=8)
 def _stream_window_fn(cfg: Config, chunk_frames: int):
     """Jitted one-window step for streaming synthesis, cached per

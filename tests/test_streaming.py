@@ -134,3 +134,53 @@ def test_streaming_validation():
         ))
     with pytest.raises(ValueError, match="key"):
         next(stream_student_chunks(CFG, params, mel, chunk_frames=16))
+
+
+def test_vocode_many_exact_and_composition_invariant(rng):
+    """Batch/bucketed vocoding (`generate.vocode_many`): each item must
+    equal the documented per-item reference (generate_from_z on the
+    item's own noise slice) regardless of batch composition, bucket
+    padding, or zero batch rows — the upsampler runs at true length and
+    the flows are causal, so padding cannot reach a real sample."""
+    from pwn_tpu.generate import vocode_many
+    from pwn_tpu.models.student import sample_base_noise
+    from pwn_tpu.utils import dsp
+
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    params = variables["params"]
+    hop = CFG.dsp.hop_length
+    key = jax.random.PRNGKey(5)
+    bucket = 8
+    lengths = [13, 8, 21]  # two buckets (16, 8, 24), one partial batch
+    mels = [rng.uniform(0, 1, (F, CFG.dsp.n_mels)).astype(np.float32)
+            for F in lengths]
+
+    outs = vocode_many(CFG, params, mels, key, temperature=0.9,
+                       batch_size=2, bucket_frames=bucket)
+
+    for i, (F, m) in enumerate(zip(lengths, mels)):
+        Tb = -(-F // bucket) * bucket * hop
+        z = sample_base_noise(
+            CFG, jax.random.fold_in(key, i), (1, Tb)) * 0.9
+        ref = model.apply(
+            {"params": params}, z[:, : F * hop], jnp.asarray(m[None]),
+            method="generate_from_z",
+        )
+        ref = np.asarray(dsp.deemphasis(ref, CFG.dsp.preemphasis)[0])
+        assert outs[i].shape == (F * hop,)
+        np.testing.assert_allclose(outs[i], ref, rtol=1e-5, atol=1e-5)
+
+    # composition invariance: the same item alone gives the same audio
+    solo = vocode_many(CFG, params, [mels[2]], key, temperature=0.9,
+                       batch_size=4, bucket_frames=bucket)
+    # solo item has index 0 -> different fold_in stream than outs[2];
+    # rebuild the reference for index 0 instead of comparing directly
+    Tb = -(-lengths[2] // bucket) * bucket * hop
+    z0 = sample_base_noise(
+        CFG, jax.random.fold_in(key, 0), (1, Tb)) * 0.9
+    ref0 = model.apply(
+        {"params": params}, z0[:, : lengths[2] * hop],
+        jnp.asarray(mels[2][None]), method="generate_from_z",
+    )
+    ref0 = np.asarray(dsp.deemphasis(ref0, CFG.dsp.preemphasis)[0])
+    np.testing.assert_allclose(solo[0], ref0, rtol=1e-5, atol=1e-5)
