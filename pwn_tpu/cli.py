@@ -266,9 +266,15 @@ def main(argv=None) -> int:
             else:
                 paths = sorted(glob.glob(
                     os.path.join(args.source_dir, "*.wav")))
-                mels = [np.asarray(mel_from_wav(
-                    cfg, read_wav(p, target_sr=sr)[0].astype(
-                        np.float32))[0]) for p in paths]
+                # wav->mel in host numpy: each distinct clip length
+                # otherwise pays per-op REMOTE compiles on the device
+                # (measured r4: up to ~15 s/utterance cold over the
+                # tunnel vs ms here; axon registers no cpu jax backend,
+                # so this cannot run under jax.default_device(cpu))
+                from pwn_tpu.generate import mel_from_wav_host
+
+                mels = [mel_from_wav_host(
+                    cfg, read_wav(p, target_sr=sr)[0]) for p in paths]
             if not paths:
                 print("batch mode: no inputs found", file=sys.stderr)
                 return 2

@@ -34,6 +34,23 @@ def mel_from_wav(cfg: Config, wav: np.ndarray) -> jax.Array:
     return mel[:, : wav.shape[-1] // cfg.dsp.hop_length]
 
 
+def mel_from_wav_host(cfg: Config, wav: np.ndarray) -> np.ndarray:
+    """`mel_from_wav` computed entirely on host numpy — (T,) float32 ->
+    (F, n_mels).  For batch/vocoding paths on the axon platform, where
+    no cpu jax backend exists and per-clip-length eager device mel pays
+    remote compiles (dsp.mel_spectrogram_np has the measured numbers).
+    """
+    wav = np.asarray(wav, np.float32)
+    if cfg.dsp.preemphasis:
+        x = wav - cfg.dsp.preemphasis * np.concatenate(
+            [[0.0], wav[:-1]]).astype(np.float32)
+    else:
+        x = wav
+    x = np.clip(x, -1.0, 1.0)
+    mel = dsp.mel_spectrogram_np(x[None], cfg.dsp)
+    return mel[0, : len(wav) // cfg.dsp.hop_length]
+
+
 def coerce_mel(cfg: Config, mel: np.ndarray) -> jax.Array:
     """Externally supplied mel (F, n_mels) or (1, F, n_mels) float ->
     conditioning array.
@@ -87,14 +104,80 @@ def generate_student(
     return np.asarray(wav[0])
 
 
+def _host_deemphasis(wav: np.ndarray, coef: float) -> np.ndarray:
+    """Deemphasis IIR on host via scipy's C loop: the device version is
+    a T-step sequential `lax.scan` (~0.7 s per 98k-sample batch on v5e,
+    measured r4) — three orders slower than lfilter for an op with zero
+    parallelism."""
+    if coef == 0.0:
+        return np.asarray(wav, np.float32)
+    from scipy.signal import lfilter
+
+    return lfilter([1.0], [1.0, -coef], np.asarray(wav),
+                   axis=-1).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=4)
 def _vocode_fns(cfg: Config):
+    """Jitted pieces of `vocode_many`, shaped to minimise BOTH
+    dispatches and distinct compiles (each costs a remote round
+    trip / remote compile on the axon tunnel; measured r4: per-item
+    eager pads were 3.3 s vs 0.12 s of flow compute per warm
+    32-utterance run, and per-distinct-length upsampler graphs were
+    ~60 s of cold compiles):
+
+    * `up` — the conditioning upsampler, called once per batch on
+      bucket-padded mels (one graph per bucket) and once per batch on
+      fixed-W tail windows (one graph total);
+    * `flows` — tail splice + noise draw + flow stack in ONE dispatch.
+
+    The tail splice is what keeps bucket padding EXACT: a zero mel
+    frame contributes nothing to a transposed conv's overlap-add, so
+    the padded upsampler's prefix differs from the true-length one only
+    where inter-stage biases within the halo `H` of the boundary leak
+    back — the last <= H*hop samples.  Re-running the upsampler on the
+    item's TRUE last W frames reproduces the true right boundary; its
+    output is left-boundary-contaminated only in its first H*hop
+    samples, so splicing its last S = (H+2)*hop samples (W = 2H + 4,
+    W*hop - S >= H*hop) overwrites every contaminated position with an
+    exact value.  Pinned against unpadded generation by
+    tests/test_streaming.py."""
+    from pwn_tpu.parallel.sp import _sp_mega_geometry
+
     model = make_student(cfg)
-    up = jax.jit(lambda p, mel: model.apply(
-        {"params": p}, mel, method="upsample_cond"))
-    flows = jax.jit(lambda p, z, cond: model.apply(
-        {"params": p}, z, cond, method="flows_from_z"))
-    return up, flows
+    hop = cfg.dsp.hop_length
+    _, H = _sp_mega_geometry(cfg)
+    W = 2 * H + 4
+    S = (H + 2) * hop
+
+    def _up(p, mel):
+        return model.apply({"params": p}, mel, method="upsample_cond")
+
+    def _flows(p, cond, tail, t_arr, key, idx, temperature):
+        # tail is (B, W*hop, C) upsampled from TRUE last-W-frame mel
+        # windows; t_arr the per-row true sample lengths
+        def fix(c, t, T):
+            return jax.lax.dynamic_update_slice(c, t[-S:], (T - S, 0))
+
+        cond = jax.vmap(fix)(cond, tail, t_arr)
+        Tb = cond.shape[1]
+        z = jax.vmap(
+            lambda i: sample_base_noise(
+                cfg, jax.random.fold_in(key, i), (Tb,))
+        )(idx) * temperature
+        return model.apply({"params": p}, z, cond,
+                           method="flows_from_z")
+
+    def _flows_plain(p, cond, key, idx, temperature):
+        Tb = cond.shape[1]
+        z = jax.vmap(
+            lambda i: sample_base_noise(
+                cfg, jax.random.fold_in(key, i), (Tb,))
+        )(idx) * temperature
+        return model.apply({"params": p}, z, cond,
+                           method="flows_from_z")
+
+    return (jax.jit(_up), jax.jit(_flows), jax.jit(_flows_plain), W)
 
 
 def vocode_many(
@@ -116,22 +199,24 @@ def vocode_many(
     per-item result is EXACT, independent of batch composition and
     padding: the conditioning upsampler (the only non-causal module)
     runs per item at its TRUE length, and the flow stack is causal over
-    (z, cond), so zero-padded tails and zero batch rows cannot reach a
-    real sample.  Item i's waveform equals
+    (z, cond), so zero-padded tails and repeated batch rows cannot
+    reach a real sample.  Item i's waveform equals
     `generate_from_z(z_i[:, :T_i], mel_i)` for
     `z_i = sample_base_noise(cfg, fold_in(key, i), (1, bucket_len)) *
-    temperature` (pinned by tests/test_streaming.py).
+    temperature`, deemphasized with the host IIR (bit-matching the
+    streaming serve path's `_Deemph`; pinned by
+    tests/test_streaming.py).
 
     mels: sequence of (F_i, n_mels) or (1, F_i, n_mels) arrays
     (convention: `coerce_mel`).  Returns a list of (T_i,) float32
     deemphasized numpy waveforms, order-preserving.
     """
     hop = cfg.dsp.hop_length
-    up, flows = _vocode_fns(cfg)
-    items = [coerce_mel(cfg, m) for m in mels]
+    up, flows, flows_plain, W = _vocode_fns(cfg)
+    items = [np.asarray(coerce_mel(cfg, m))[0] for m in mels]  # (F, M)
     buckets: dict = {}
     for i, m in enumerate(items):
-        fb = -(-m.shape[1] // bucket_frames) * bucket_frames
+        fb = -(-m.shape[0] // bucket_frames) * bucket_frames
         buckets.setdefault(fb, []).append(i)
 
     out: list = [None] * len(items)
@@ -140,26 +225,40 @@ def vocode_many(
         Tb = fb * hop
         for at in range(0, len(idxs), batch_size):
             group = idxs[at: at + batch_size]
-            conds, zs = [], []
-            for i in group:
-                c = up(student_params, items[i])  # (1, T_i, C)
-                conds.append(jnp.pad(
-                    c, ((0, 0), (0, Tb - c.shape[1]), (0, 0))))
-                zs.append(sample_base_noise(
-                    cfg, jax.random.fold_in(key, i), (1, Tb)
-                ) * temperature)
-            pad_rows = batch_size - len(group)
-            cond = jnp.concatenate(conds, axis=0)
-            z = jnp.concatenate(zs, axis=0)
-            if pad_rows:
-                cond = jnp.pad(cond, ((0, pad_rows), (0, 0), (0, 0)))
-                z = jnp.pad(z, ((0, pad_rows), (0, 0)))
-            wav = dsp.deemphasis(
-                flows(student_params, z, cond), cfg.dsp.preemphasis
-            )
-            wav = np.asarray(wav, np.float32)
+            # ragged groups reuse the full-batch executable: pad rows
+            # with repeated entries and discard them
+            rows = group + [group[-1]] * (batch_size - len(group))
+            if all(items[i].shape[0] >= W for i in group):
+                # bucket-padded upsample + exact tail windows (host
+                # pads are free; two device dispatches per batch)
+                mel_pad = jnp.asarray(np.stack([
+                    np.pad(items[i],
+                           ((0, fb - items[i].shape[0]), (0, 0)))
+                    for i in rows]))
+                tails = jnp.asarray(np.stack(
+                    [items[i][-W:] for i in rows]))
+                t_arr = jnp.asarray(
+                    [items[i].shape[0] * hop for i in rows])
+                wav = flows(
+                    student_params, up(student_params, mel_pad),
+                    up(student_params, tails), t_arr, key,
+                    jnp.asarray(rows), temperature,
+                )
+            else:
+                # ultra-short utterances (< W = 2H+4 frames): per-item
+                # exact upsample at true length, eager pad (rare path)
+                cond = jnp.concatenate([
+                    jnp.pad(
+                        up(student_params,
+                           jnp.asarray(items[i][None])),
+                        ((0, 0),
+                         (0, Tb - items[i].shape[0] * hop), (0, 0)))
+                    for i in rows])
+                wav = flows_plain(student_params, cond, key,
+                                  jnp.asarray(rows), temperature)
+            wav = _host_deemphasis(wav, cfg.dsp.preemphasis)
             for row, i in enumerate(group):
-                out[i] = wav[row, : items[i].shape[1] * hop]
+                out[i] = wav[row, : items[i].shape[0] * hop]
     return out
 
 

@@ -198,6 +198,33 @@ def wav_to_mel(wav: jax.Array, cfg: DSPConfig) -> jax.Array:
     return mel_spectrogram(preemphasis(wav, cfg.preemphasis), cfg)
 
 
+def mel_spectrogram_np(x: np.ndarray, cfg: DSPConfig) -> np.ndarray:
+    """Pure-numpy mirror of `mel_spectrogram` (..., T) -> (..., F, n_mels).
+
+    For host-side mel extraction in processes whose ONLY jax backend is
+    the remote TPU (the axon platform registers no cpu backend): eager
+    per-utterance mel on the device pays per-shape REMOTE compiles —
+    measured up to ~15 s per distinct clip length cold over the tunnel
+    (r4) vs milliseconds here.  Allclose-pinned to the jnp pipeline by
+    tests/test_dsp.py.
+    """
+    x = np.asarray(x, np.float32)
+    pad = [(0, 0)] * (x.ndim - 1) + [(cfg.n_fft // 2, cfg.n_fft // 2)]
+    xp = np.pad(x, pad, mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - cfg.n_fft) // cfg.hop_length
+    idx = (np.arange(n_frames)[:, None] * cfg.hop_length
+           + np.arange(cfg.n_fft)[None, :])
+    frames = xp[..., idx] * hann_window(cfg.win_length, cfg.n_fft)
+    mag = np.abs(np.fft.rfft(frames, n=cfg.n_fft, axis=-1)).astype(
+        np.float32)
+    fbank = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
+                           cfg.fmin, cfg.fmax_hz)
+    mel = mag @ fbank.T
+    db = 20.0 * np.log10(np.maximum(mel, _AMP_FLOOR))
+    return np.clip((db - cfg.ref_db - cfg.min_db) / (-cfg.min_db),
+                   0.0, 1.0).astype(np.float32)
+
+
 def power_spectrum(x: jax.Array, cfg: DSPConfig) -> jax.Array:
     """|STFT|^2, un-normalized — the distillation power-loss feature [PW]."""
     mag = stft_magnitude(x, cfg.n_fft, cfg.hop_length, cfg.win_length)

@@ -132,3 +132,27 @@ def test_wav_to_mel_runs(rng, coef):
     x = rng.standard_normal(3000).astype(np.float32) * 0.2
     mel = dsp.wav_to_mel(jnp.asarray(x), cfg)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_mel_spectrogram_np_matches_jnp(rng):
+    """The host-numpy mel mirror (used by batch vocoding on axon, where
+    no cpu jax backend exists) must match the on-device jnp pipeline."""
+    cfg = DSPConfig(sample_rate=16000, n_fft=512, hop_length=128,
+                    win_length=400, n_mels=40)
+    x = (rng.standard_normal((2, 4000)) * 0.3).astype(np.float32)
+    a = np.asarray(dsp.mel_spectrogram(jnp.asarray(x), cfg))
+    b = dsp.mel_spectrogram_np(x, cfg)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=2e-5)
+
+
+def test_mel_from_wav_host_matches_device_path(rng):
+    from pwn_tpu.config import get_config
+    from pwn_tpu.generate import mel_from_wav, mel_from_wav_host
+
+    cfg = get_config("tiny_teacher")
+    wav = (rng.standard_normal(4000) * 0.3).astype(np.float32)
+    a = np.asarray(mel_from_wav(cfg, wav)[0])
+    b = mel_from_wav_host(cfg, wav)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=2e-5)

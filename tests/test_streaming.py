@@ -142,22 +142,53 @@ def test_vocode_many_exact_and_composition_invariant(rng):
     item's own noise slice) regardless of batch composition, bucket
     padding, or zero batch rows — the upsampler runs at true length and
     the flows are causal, so padding cannot reach a real sample."""
-    from pwn_tpu.generate import vocode_many
+    from pwn_tpu.generate import _host_deemphasis, vocode_many
     from pwn_tpu.models.student import sample_base_noise
-    from pwn_tpu.utils import dsp
 
     model, variables = init_student(CFG, jax.random.PRNGKey(0))
-    params = variables["params"]
+    # jitter EVERY param (biases included): fresh inits have zero
+    # biases, which would make bucket-padded upsampling trivially exact
+    # and leave the tail-splice correctness argument untested
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    jkeys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(leaves, jkeys)
+    ])
     hop = CFG.dsp.hop_length
     key = jax.random.PRNGKey(5)
     bucket = 8
-    lengths = [13, 8, 21]  # two buckets (16, 8, 24), one partial batch
+    # 13/8 exercise the short-item fallback (< W = 2H+4 frames), 21 and
+    # 37 the bucket-padded + tail-splice path, with a partial batch
+    lengths = [13, 8, 21, 37]
     mels = [rng.uniform(0, 1, (F, CFG.dsp.n_mels)).astype(np.float32)
             for F in lengths]
 
     outs = vocode_many(CFG, params, mels, key, temperature=0.9,
                        batch_size=2, bucket_frames=bucket)
 
+    # (a) the precision-critical claim: bucket-padded upsampling + the
+    # exact tail-window splice reproduces the TRUE-length conditioning
+    # (measured: zero-pad contamination reaches only ~8 samples past
+    # the boundary on this config; the splice overwrites (H+2)*hop)
+    from pwn_tpu.generate import _vocode_fns
+
+    up, _, _, W = _vocode_fns(CFG)
+    S = (W // 2) * hop
+    F = lengths[3]
+    fb = -(-F // bucket) * bucket
+    m = mels[3]
+    cond_pad = np.asarray(up(
+        params, jnp.asarray(np.pad(m, ((0, fb - F), (0, 0)))[None])
+    ))[0, : F * hop]
+    tail = np.asarray(up(params, jnp.asarray(m[-W:][None])))[0]
+    spliced = np.concatenate([cond_pad[: F * hop - S], tail[-S:]])
+    cond_true = np.asarray(up(params, jnp.asarray(m[None])))[0]
+    np.testing.assert_allclose(spliced, cond_true, rtol=1e-4, atol=1e-5)
+
+    # (b) end-to-end waveforms: batched-vs-single fp reordering noise
+    # amplifies through 4 flows of exp(log_s) and the deemphasis IIR,
+    # so the tolerance is looser than the cond check above
     for i, (F, m) in enumerate(zip(lengths, mels)):
         Tb = -(-F // bucket) * bucket * hop
         z = sample_base_noise(
@@ -166,9 +197,9 @@ def test_vocode_many_exact_and_composition_invariant(rng):
             {"params": params}, z[:, : F * hop], jnp.asarray(m[None]),
             method="generate_from_z",
         )
-        ref = np.asarray(dsp.deemphasis(ref, CFG.dsp.preemphasis)[0])
+        ref = _host_deemphasis(np.asarray(ref), CFG.dsp.preemphasis)[0]
         assert outs[i].shape == (F * hop,)
-        np.testing.assert_allclose(outs[i], ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(outs[i], ref, rtol=2e-4, atol=2e-4)
 
     # composition invariance: the same item alone gives the same audio
     solo = vocode_many(CFG, params, [mels[2]], key, temperature=0.9,
@@ -182,5 +213,5 @@ def test_vocode_many_exact_and_composition_invariant(rng):
         {"params": params}, z0[:, : lengths[2] * hop],
         jnp.asarray(mels[2][None]), method="generate_from_z",
     )
-    ref0 = np.asarray(dsp.deemphasis(ref0, CFG.dsp.preemphasis)[0])
-    np.testing.assert_allclose(solo[0], ref0, rtol=1e-5, atol=1e-5)
+    ref0 = _host_deemphasis(np.asarray(ref0), CFG.dsp.preemphasis)[0]
+    np.testing.assert_allclose(solo[0], ref0, rtol=2e-4, atol=2e-4)
