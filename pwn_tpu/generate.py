@@ -337,7 +337,14 @@ def stream_student_chunks(
             f"utterance of {F} frames is shorter than one streaming "
             f"window ({WF}); call generate_student directly"
         )
-    mel = jnp.asarray(mel)
+    # keep mel on host and slice windows with numpy: an eager
+    # dynamic_slice on a device-resident (1, F, M) array compiles per
+    # distinct F — measured ~1 s TTFB per novel request length on the
+    # serving path (r4) for an op that is free on host.  The fixed-size
+    # window is shipped as the jit input it was anyway.
+    mel = np.asarray(mel)
+    if z is not None:
+        z = np.asarray(z)  # host windows for the same reason
 
     window_fn = _stream_window_fn(cfg, chunk_frames)
 
@@ -369,7 +376,7 @@ def stream_student_chunks(
         start = c * CT
         ws = max(0, start - R)
         f_start = min(max(ws // hop - H, 0), F - WF)
-        mel_win = jax.lax.dynamic_slice_in_dim(mel, f_start, WF, axis=1)
+        mel_win = jnp.asarray(mel[:, f_start: f_start + WF])
         out = window_fn(
             student_params, z_at(ws), mel_win,
             jnp.int32(ws - f_start * hop), jnp.int32(start - ws),

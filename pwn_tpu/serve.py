@@ -144,11 +144,16 @@ class VocoderService:
     def synthesize_chunks(self, wav: np.ndarray, temperature: float,
                           chunk_frames: Optional[int] = None):
         """Yield deemphasized float32 waveform chunks for a conditioning
-        WAVEFORM (copy-synthesis: mel is computed on device first)."""
-        from pwn_tpu.generate import mel_from_wav
+        WAVEFORM (copy-synthesis).  The wav->mel runs in host numpy
+        (`generate.mel_from_wav_host`, allclose-pinned to the device
+        pipeline): on-device eager mel compiles PER REQUEST LENGTH over
+        the axon tunnel (measured up to ~15 s/clip cold, r4) — a server
+        receiving arbitrary-length wavs must not pay that at request
+        time."""
+        from pwn_tpu.generate import mel_from_wav_host
 
         return self.synthesize_chunks_from_mel(
-            mel_from_wav(self.cfg, wav.astype(np.float32)),
+            mel_from_wav_host(self.cfg, wav.astype(np.float32))[None],
             temperature, chunk_frames,
         )
 
@@ -173,6 +178,12 @@ class VocoderService:
         )
 
         cf = chunk_frames or self.chunk_frames
+        # keep the mel host-resident: eager slices of a device array
+        # (mel[:, :Fp] below) compile per distinct request length over
+        # the tunnel (~0.5 s TTFB per novel length, measured r4);
+        # numpy slicing is free and the streaming path ships fixed-size
+        # windows to the device anyway
+        mel = np.asarray(mel)
         # per-request noise stream; itertools.count is atomic, so two
         # threads entering together still get distinct keys
         req_id = next(self._counter)
