@@ -63,15 +63,6 @@ def measure_round_trip_ms(reps: int = 7) -> float:
     return float(np.median(samples)) * 1e3
 
 
-def _best_of(chain_fn: Callable[[int], Any], n: int, reps: int) -> float:
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _force(chain_fn(n))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def _time_chain(
     chain_fn: Callable[[int], Any],
     n_iters: int,
@@ -122,7 +113,8 @@ def _time_chain(
         "chain timing not separable from tunnel noise: "
         f"t(2n)-t(n) = {diff * 1e3:.3f} ms <= 1.5x RTT "
         f"({rtt_ms:.1f} ms) after {max_doublings} doublings "
-        f"(final n={n_iters}); refusing to report a rate"
+        f"(largest chain timed: n={n_iters // 2}, 2n={n_iters}); "
+        "refusing to report a rate"
     )
     return None, meta
 
@@ -1030,10 +1022,18 @@ def measure_scaling(cfg: Config, n_iters: int = 4):
         rows.append({"devices": n, "batch": B, "utt_per_s": B / dt,
                      "step_ms": dt * 1e3, "timing": meta})
     valid = [r for r in rows if "utt_per_s" in r]
-    if valid:
-        base = valid[0]["utt_per_s"] / valid[0]["devices"]
+    # efficiency is only meaningful relative to the 1-device row: if
+    # that row's timing failed, normalizing to the smallest surviving
+    # row would silently overstate every efficiency (its own row reads
+    # 1.0) — mark the column invalid instead
+    base_rows = [r for r in valid if r["devices"] == 1]
+    if base_rows:
+        base = base_rows[0]["utt_per_s"]
         for r in valid:
             r["efficiency"] = round(
                 (r["utt_per_s"] / r["devices"]) / base, 3
             )
+    elif valid:
+        for r in valid:
+            r["efficiency"] = "invalid (1-device baseline failed)"
     return rows

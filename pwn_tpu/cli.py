@@ -328,12 +328,13 @@ def main(argv=None) -> int:
                 from pwn_tpu.generate import stream_student_chunks
                 from pwn_tpu.utils import dsp as _dsp
 
-                F = mel.shape[1]
-                Fp = F - F % args.chunk_frames  # drop the ragged tail
+                # cover_tail: the ragged final F % chunk_frames frames
+                # stream as one partial chunk instead of being dropped
                 chunks = list(stream_student_chunks(
-                    cfg, gen_params, mel[:, :Fp], key=key,
+                    cfg, gen_params, np.asarray(mel), key=key,
                     chunk_frames=args.chunk_frames,
                     temperature=args.temperature,
+                    cover_tail=True,
                 ))
                 wav_cat = jnp.asarray(
                     np.concatenate(chunks, axis=1)

@@ -51,9 +51,12 @@ def mel_from_wav_host(cfg: Config, wav: np.ndarray) -> np.ndarray:
     return mel[0, : len(wav) // cfg.dsp.hop_length]
 
 
-def coerce_mel(cfg: Config, mel: np.ndarray) -> jax.Array:
+def coerce_mel(cfg: Config, mel: np.ndarray) -> np.ndarray:
     """Externally supplied mel (F, n_mels) or (1, F, n_mels) float ->
-    conditioning array.
+    validated HOST (1, F, n_mels) conditioning array (returning a
+    device array here would force a pointless host->device->host round
+    trip per mel on the axon tunnel — every consumer either slices it
+    host-side or ships it to the device itself).
 
     This is the production vocoder input path: a TTS acoustic model
     hands the vocoder a mel directly (the reference only did wav
@@ -75,7 +78,7 @@ def coerce_mel(cfg: Config, mel: np.ndarray) -> jax.Array:
         )
     if not np.isfinite(arr).all():
         raise ValueError("mel contains non-finite values")
-    return jnp.asarray(arr)
+    return arr
 
 
 def generate_student(
@@ -213,7 +216,7 @@ def vocode_many(
     """
     hop = cfg.dsp.hop_length
     up, flows, flows_plain, W = _vocode_fns(cfg)
-    items = [np.asarray(coerce_mel(cfg, m))[0] for m in mels]  # (F, M)
+    items = [coerce_mel(cfg, m)[0] for m in mels]  # host (F, M)
     buckets: dict = {}
     for i, m in enumerate(items):
         fb = -(-m.shape[0] // bucket_frames) * bucket_frames
@@ -296,12 +299,21 @@ def stream_student_chunks(
     z=None,
     chunk_frames: int = 64,
     temperature: float = 1.0,
+    cover_tail: bool = False,
 ):
     """Streaming student synthesis: yield waveform chunks of
     `chunk_frames * hop` samples whose concatenation equals the
     whole-call generate (serving: bounded memory, playback can start
     before the utterance finishes; the reference had no streaming at
     all — single-session full-graph generate [R] SURVEY.md §3.2).
+
+    cover_tail=True additionally yields a final PARTIAL chunk of
+    `(F % chunk_frames) * hop` samples so the full utterance is
+    synthesized (the serving path would otherwise truncate up to
+    chunk_frames*hop - 1 samples — audibly, the end of the last word).
+    It reuses the same fixed-shape window jit positioned to end exactly
+    at the utterance boundary, so it costs no extra compile and remains
+    exact vs the whole-call output.
 
     Exactness comes from the causal stack's finite receptive field: each
     chunk is recomputed with an `R = n_flows * (Σ dilations + 1)` sample
@@ -328,9 +340,10 @@ def stream_student_chunks(
     # increasingly wasteful: overhead per chunk is R/CT
     WT = CT + R
     WF = WT // hop + 2 * H
-    if F % chunk_frames:
+    if F % chunk_frames and not cover_tail:
         raise ValueError(
-            f"frames {F} not divisible by chunk_frames {chunk_frames}"
+            f"frames {F} not divisible by chunk_frames {chunk_frames} "
+            "(pass cover_tail=True to emit a final partial chunk)"
         )
     if F < WF:
         raise ValueError(
@@ -382,6 +395,22 @@ def stream_student_chunks(
             jnp.int32(ws - f_start * hop), jnp.int32(start - ws),
         )
         yield np.asarray(out)
+
+    rem = F % chunk_frames
+    if cover_tail and rem:
+        # final partial chunk: the same static window, positioned to
+        # END at the utterance boundary; the window re-emits CT samples
+        # of which the first CT - rem*hop overlap already-yielded audio
+        # and are dropped (F >= WF guarantees T >= WT, so ws >= 0)
+        T = F * hop
+        ws = T - WT
+        f_start = min(max(ws // hop - H, 0), F - WF)
+        mel_win = jnp.asarray(mel[:, f_start: f_start + WF])
+        out = window_fn(
+            student_params, z_at(ws), mel_win,
+            jnp.int32(ws - f_start * hop), jnp.int32((T - CT) - ws),
+        )
+        yield np.asarray(out)[:, CT - rem * hop:]
 
 
 def generate_teacher(

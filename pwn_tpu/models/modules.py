@@ -381,14 +381,15 @@ class UpsampleNet(nn.Module):
                       self.channels)
             if self.weight_norm:
                 v = self.param(f"v_{i}", _conv_kernel_init, kshape)
-                # g init = ||v||: the initial function equals the plain
-                # conv's (same reparameterization trick as
+                # g init = ||v|| of the ACTUAL v (closed over — not a
+                # fresh draw with g's own RNG fold), so the initial
+                # effective kernel equals v exactly and the function
+                # matches the plain conv at init (same trick as
                 # ops/norm.py::WeightNormConv1d)
                 g = self.param(
                     f"g_{i}",
-                    lambda key, _: jnp.sqrt(jnp.sum(
-                        jnp.square(_conv_kernel_init(key, kshape)),
-                        axis=(0, 1),
+                    lambda key, _, v=v: jnp.sqrt(jnp.sum(
+                        jnp.square(v), axis=(0, 1),
                     )),
                     (self.channels,),
                 )

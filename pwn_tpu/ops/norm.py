@@ -61,14 +61,14 @@ class WeightNormConv1d(nn.Module):
         v = self.param(
             "v", _conv_init, (self.kernel_size, x.shape[-1], self.features)
         )
-        # init g to ||v|| so the initial function matches a plain conv
+        # init g to ||v|| — of the ACTUAL v just created (closing over
+        # it), not a fresh draw with g's own RNG fold — so the initial
+        # effective kernel v*g/||v|| equals v EXACTLY and the function
+        # matches a plain conv at init
         g = self.param(
             "g",
             lambda key, shape: jnp.sqrt(
-                jnp.sum(jnp.square(_conv_init(key, (self.kernel_size,
-                                                    x.shape[-1],
-                                                    self.features))),
-                        axis=(0, 1))
+                jnp.sum(jnp.square(v), axis=(0, 1))
             ),
             (self.features,),
         )

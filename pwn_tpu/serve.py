@@ -165,10 +165,14 @@ class VocoderService:
         `generate.coerce_mel`).  Utterances shorter than one streaming
         window fall back to a single whole-call chunk.
 
-        Device work runs in a producer thread draining into a queue, so
-        the device lock is held only while the chip computes — a client
-        reading its response slowly buffers in host RAM (bounded by the
-        utterance) instead of stalling other requests.
+        Device work runs in a producer thread draining into a BOUNDED
+        queue (`queue_chunks`), so the device lock is held only while
+        the chip computes and a slow client buffers bounded host RAM.
+        In the pathological case (queue full AND the client stalled,
+        not gone) the producer blocks holding the device lock until the
+        client reads or disconnects — total damage is bounded by
+        `max_pending` admissions (see the module docstring's resource-
+        bounds contract).
         """
         import queue
 
@@ -215,17 +219,22 @@ class VocoderService:
                     try:
                         if Fp < cf:
                             raise ValueError("short utterance")
+                        # cover_tail: the final F % cf frames stream as
+                        # one partial chunk instead of being dropped
+                        # (up to cf*hop-1 samples — the end of the last
+                        # word on real speech)
                         for chunk in stream_student_chunks(
-                            self.cfg, self.params, mel[:, :Fp], key=key,
+                            self.cfg, self.params, mel, key=key,
                             chunk_frames=cf, temperature=temperature,
+                            cover_tail=True,
                         ):
                             if not put(("chunk", chunk[0])):
                                 return
                     except ValueError:
-                        # shorter than one overlap window (or ragged
-                        # only): one-shot generate_student, which
-                        # deemphasizes internally — emitted as "whole"
-                        # so the consumer skips its deemphasis filter
+                        # shorter than one overlap window: one-shot
+                        # generate_student, which deemphasizes
+                        # internally — emitted as "whole" so the
+                        # consumer skips its deemphasis filter
                         if not put(("whole", np.asarray(generate_student(
                             self.cfg, self.params, mel, key,
                             temperature=temperature,
@@ -285,7 +294,12 @@ def _make_handler(service: VocoderService):
                 self._json(404, {"error": "unknown path"})
                 return
             q = parse_qs(url.query)
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self.close_connection = True
+                self._json(400, {"error": "bad Content-Length"})
+                return
             if n > service.max_body_bytes:
                 # drain nothing — answer and close (keep-alive off so the
                 # unread body doesn't poison the connection)
@@ -295,36 +309,11 @@ def _make_handler(service: VocoderService):
                              f"{service.max_body_bytes}"
                 })
                 return
-            mel = None
-            try:
-                temperature = float(q.get("temperature", ["1.0"])[0])
-                cf = int(q.get("chunk_frames",
-                               [str(service.chunk_frames)])[0])
-                body = self.rfile.read(n)
-                if body[:6] == b"\x93NUMPY":
-                    # .npy body = direct mel conditioning (the
-                    # production vocoder input; convention documented
-                    # at generate.coerce_mel / README)
-                    from pwn_tpu.generate import coerce_mel
-
-                    mel = coerce_mel(service.cfg, np.load(
-                        io.BytesIO(body), allow_pickle=False))
-                else:
-                    in_sr, data = wavfile.read(io.BytesIO(body))
-            except Exception as e:
-                self._json(400, {"error": f"bad request: {e!r}"})
-                return
-            if mel is None:
-                if data.dtype == np.int16:
-                    wav = data.astype(np.float32) / 32768.0
-                else:
-                    wav = data.astype(np.float32)
-                if wav.ndim == 2:
-                    wav = wav.mean(axis=1)
-                if in_sr != sr:
-                    g = int(np.gcd(sr, in_sr))
-                    wav = resample_poly(wav, sr // g, in_sr // g)
+            # shed load BEFORE paying for body decode/resample/mel
+            # parse: a saturated server answering 503 late still burns
+            # seconds of CPU per shed request on big bodies
             if not service.try_admit():
+                self.close_connection = True  # body unread
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
                 body = json.dumps({"error": "server busy: "
@@ -336,6 +325,34 @@ def _make_handler(service: VocoderService):
                 self.wfile.write(body)
                 return
             try:
+                mel = None
+                try:
+                    temperature = float(q.get("temperature", ["1.0"])[0])
+                    cf = int(q.get("chunk_frames",
+                                   [str(service.chunk_frames)])[0])
+                    body = self.rfile.read(n)
+                    if body[:6] == b"\x93NUMPY":
+                        # .npy body = direct mel conditioning (the
+                        # production vocoder input; convention
+                        # documented at generate.coerce_mel / README)
+                        from pwn_tpu.generate import coerce_mel
+
+                        mel = coerce_mel(service.cfg, np.load(
+                            io.BytesIO(body), allow_pickle=False))
+                    else:
+                        in_sr, data = wavfile.read(io.BytesIO(body))
+                        if data.dtype == np.int16:
+                            wav = data.astype(np.float32) / 32768.0
+                        else:
+                            wav = data.astype(np.float32)
+                        if wav.ndim == 2:
+                            wav = wav.mean(axis=1)
+                        if in_sr != sr:
+                            g = int(np.gcd(sr, in_sr))
+                            wav = resample_poly(wav, sr // g, in_sr // g)
+                except Exception as e:
+                    self._json(400, {"error": f"bad request: {e!r}"})
+                    return
                 try:
                     chunks = (
                         service.synthesize_chunks_from_mel(

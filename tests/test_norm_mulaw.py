@@ -94,12 +94,16 @@ def test_upsample_weight_norm_wiring():
     up = v_on["params"]["upsample"]
     assert "v_0" in up and "g_0" in up and "kernel_0" not in up
     # the weight-norm invariant: per-output-channel kernel norm == g
-    # (g's init draws its own RNG fold, so k_eff == v only approximately;
-    # the norm identity is exact by construction)
     k_eff = wn_fn(up["v_0"], up["g_0"])
     np.testing.assert_allclose(
         np.asarray(jnp.sqrt(jnp.sum(jnp.square(k_eff), axis=(0, 1)))),
         np.asarray(up["g_0"]), rtol=1e-5,
+    )
+    # g init = ||v|| of the ACTUAL v (closed over, not a fresh RNG
+    # draw), so the initial effective kernel equals v exactly — the
+    # reparameterization is function-preserving at init
+    np.testing.assert_allclose(
+        np.asarray(k_eff), np.asarray(up["v_0"]), rtol=1e-6, atol=1e-7,
     )
     # forward runs and is finite through the full teacher
     mel = jnp.asarray(

@@ -76,7 +76,8 @@ def test_synthesize_streams_pcm16(server):
     out = np.frombuffer(data, "<i2").astype(np.float32) / 32767.0
     hop = CFG.dsp.hop_length
     F = len(wav) // hop
-    assert len(out) == (F - F % 8) * hop
+    # cover_tail: the full utterance is synthesized, ragged tail included
+    assert len(out) == F * hop
     assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
     # not silence (the vocoder actually ran)
     assert np.abs(out).max() > 1e-4
@@ -164,6 +165,20 @@ def test_streamed_equals_generator_with_deemphasis(server):
     np.testing.assert_allclose(
         got, np.clip(ref, -1.0, 1.0), atol=1.0 / 32767 + 1e-6
     )
+
+
+def test_malformed_content_length_400(server):
+    """A non-integer Content-Length must get a 400, not an unhandled
+    ValueError that drops the connection with no response."""
+    srv, service = server
+    conn = http.client.HTTPConnection(*srv.server_address, timeout=60)
+    conn.putrequest("POST", "/synthesize")
+    conn.putheader("Content-Length", "12abc")
+    conn.endheaders()
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
+    conn.close()
 
 
 def test_oversize_body_rejected_413(server):
@@ -281,7 +296,8 @@ def test_synthesize_from_mel_npy(server):
     conn.close()
     hop = CFG.dsp.hop_length
     F = mel.shape[0]
-    assert len(out) == (F - F % 8) * hop
+    # cover_tail: full mel synthesized, ragged tail included
+    assert len(out) == F * hop
     assert np.isfinite(out).all() and np.abs(out).max() > 1e-4
 
 

@@ -82,6 +82,48 @@ def test_streaming_matches_whole_call_gaussian(rng):
     assert np.isfinite(a).all() and np.abs(a).max() <= 1.0
 
 
+def test_streaming_cover_tail_matches_whole_call(rng):
+    """cover_tail=True emits a final partial chunk so the FULL
+    utterance is synthesized (the serving path previously truncated up
+    to chunk_frames*hop - 1 samples); concatenation must still equal
+    the whole-call output on the same z."""
+    model, variables = init_student(CFG, jax.random.PRNGKey(0))
+    params = variables["params"]
+    hop = CFG.dsp.hop_length
+    B, F, cf = 2, 61, 16  # rem = 13 frames
+    mel = jnp.asarray(
+        rng.uniform(0, 1, (B, F, CFG.dsp.n_mels)).astype(np.float32)
+    )
+    z = mol.sample_logistic(jax.random.PRNGKey(3), (B, F * hop))
+    whole = jax.jit(
+        lambda v, z, m: model.apply(v, z, m, method="generate_from_z")
+    )(variables, z, mel)
+
+    chunks = list(stream_student_chunks(
+        CFG, params, mel, z=np.asarray(z), chunk_frames=cf,
+        cover_tail=True,
+    ))
+    assert chunks[-1].shape == (B, (F % cf) * hop)
+    streamed = np.concatenate(chunks, axis=1)
+    assert streamed.shape[1] == F * hop
+    np.testing.assert_allclose(
+        streamed, np.asarray(whole), rtol=1e-5, atol=1e-6
+    )
+    # rem == 0 -> no extra chunk, identical to cover_tail=False
+    mel64 = jnp.asarray(
+        rng.uniform(0, 1, (B, 64, CFG.dsp.n_mels)).astype(np.float32)
+    )
+    z64 = np.asarray(mol.sample_logistic(
+        jax.random.PRNGKey(9), (B, 64 * hop)))
+    a = list(stream_student_chunks(
+        CFG, params, mel64, z=z64, chunk_frames=cf, cover_tail=True))
+    b = list(stream_student_chunks(
+        CFG, params, mel64, z=z64, chunk_frames=cf))
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(
+        np.concatenate(a, axis=1), np.concatenate(b, axis=1))
+
+
 def test_streaming_chunk_noise_is_deterministic_and_bounded(rng):
     """Without a pre-drawn z: same key -> identical chunks across calls,
     finite output in [-1, 1], and the z-block cache stays bounded."""
