@@ -142,8 +142,6 @@ def _kernel(x0_ref, cond_ref, w_in_ref, b_g_ref, w_out_ref, b_rs_ref,
 def _reference_xla(x0, cond, w_in, b_g, w_out, b_rs, dilations):
     """Semantically-identical pure-XLA stack (scan), used for the custom
     VJP backward and for equivalence tests."""
-    from pwn_tpu.ops.conv import shift_right
-
     C = x0.shape[-1]
     dt = x0.dtype
 
@@ -611,6 +609,14 @@ def _flow_stack_train_fwd_impl(dilations, interpret, x0, cond, w_in, b_g,
             * x0.dtype.itemsize,
             transcendentals=B * Tp * L * G,
         ),
+        # same raised scoped-VMEM cap as the inference forward and the
+        # backward chunks: this call's footprint is strictly LARGER
+        # (hist scratch plus the double-buffered (L, bb, tile, C) acts
+        # output block), so an experiment layout that clears Mosaic's
+        # 16 MB default elsewhere must not crash only here
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x0, cond, w_in, b_g.astype(jnp.float32), w_out,
       b_rs.astype(jnp.float32))
@@ -631,6 +637,14 @@ def _bwd_chunk_layout(L, B, tile, C, M, S, K_in, G, itemsize,
     forced = os.environ.get("PWN_TPU_BWD_CHUNK")
     if forced:
         lc, bb = (int(v) for v in forced.split(","))
+        if L % lc or B % bb or lc < 1 or bb < 1:
+            raise ValueError(
+                f"PWN_TPU_BWD_CHUNK={forced!r}: chunk_layers must "
+                f"divide L={L} and bb must divide B={B} — the grids "
+                "floor the division, so a non-divisor layout silently "
+                "DROPS layers/batch rows from the backward (wrong "
+                "gradients, no error in dx-only mode)"
+            )
         return lc, bb
     budget = 10 * 1024 * 1024
 

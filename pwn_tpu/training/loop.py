@@ -24,7 +24,7 @@ from pwn_tpu.data import (
 )
 from pwn_tpu.data.pipeline import local_batch_size
 from pwn_tpu.models.student import init_student
-from pwn_tpu.models.teacher import init_teacher
+from pwn_tpu.models.teacher import init_teacher, make_teacher
 from pwn_tpu.parallel import make_mesh, shard_batch
 from pwn_tpu.training.common import (
     create_train_state,
@@ -109,6 +109,34 @@ def make_val_batch(cfg: Config, data_dir: Optional[str], batch_size: int):
     return next(it)
 
 
+def _student_sample_fn(cfg: Config, data_dir: Optional[str]):
+    """Per-checkpoint student audio dump (the reference's TensorBoard
+    audio-summary equivalent [R]), shared by the distillation and
+    direct-training loops.  Conditions on a HELD-OUT corpus clip like
+    the teacher loop's dump — real mel conditioning; a synthetic tone
+    would hide speech-specific regressions when training on a corpus."""
+    val_ds = build_dataset(cfg, data_dir, split="val")
+
+    def sample_fn(state, step, samples_dir):
+        from pwn_tpu.generate import generate_student, mel_from_wav
+        from pwn_tpu.utils.audio_io import write_wav
+
+        sr = cfg.dsp.sample_rate
+        n = max(cfg.dsp.hop_length * 4,
+                int(cfg.train.eval_sample_seconds * sr))
+        clip = val_ds[0][:n]
+        mel = mel_from_wav(cfg, clip.astype("float32"))
+        wav = generate_student(
+            cfg, jax.device_get(_serving(state)), mel,
+            jax.random.PRNGKey(step),
+        )
+        write_wav(
+            os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
+        )
+
+    return sample_fn
+
+
 def _run(
     cfg: Config,
     state,
@@ -161,6 +189,12 @@ def _run(
     want_native = engine == "native" or (
         engine == "auto" and data_dir and cfg.train.native_loader
     )
+    if engine == "native" and not data_dir:
+        raise RuntimeError(
+            "data_engine=native requires a --data-dir (the C++ loader "
+            "reads wav files); refusing to silently fall back to the "
+            "synthetic Python pipeline"
+        )
     if want_native and data_dir:
         from pwn_tpu.data.native_loader import (
             NativeWavCropLoader,
@@ -326,9 +360,11 @@ def run_distillation(
         teacher_params,
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
     )
-    teacher, _ = init_teacher(
-        _ov(cfg, "teacher.fused_layers", t_flag),
-        jax.random.PRNGKey(0), use_scan=True,
+    # module object only — the frozen params come from the checkpoint,
+    # so a real init_teacher here would pay the fused-kernel init
+    # compile (~55 s over the tunnel) just to discard its variables
+    teacher = make_teacher(
+        _ov(cfg, "teacher.fused_layers", t_flag), use_scan=True,
     )
     student, s_vars = init_student(
         _ov(cfg, "student.fused_layers",
@@ -341,22 +377,7 @@ def run_distillation(
     )
     step_fn = make_distill_train_step(student, teacher, cfg, mesh=mesh)
 
-    def sample_fn(state, step, samples_dir):
-        """Dump an eval waveform per checkpoint (the reference's
-        TensorBoard audio-summary equivalent [R])."""
-        from pwn_tpu.generate import generate_student, mel_from_wav
-        from pwn_tpu.utils.audio_io import write_wav
-
-        sr = cfg.dsp.sample_rate
-        clip = SyntheticTones(1, sr, sr, seed=777)[0]
-        mel = mel_from_wav(cfg, clip)
-        wav = generate_student(
-            cfg, jax.device_get(_serving(state)), mel,
-            jax.random.PRNGKey(step),
-        )
-        write_wav(
-            os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
-        )
+    sample_fn = _student_sample_fn(cfg, data_dir)
 
     from pwn_tpu.training.distill import make_distill_eval_step
 
@@ -422,20 +443,7 @@ def run_student_direct_training(
     def eval_fn(state):
         return eval_step(state.params, val_batch)
 
-    def sample_fn(state, step, samples_dir):
-        from pwn_tpu.generate import generate_student, mel_from_wav
-        from pwn_tpu.utils.audio_io import write_wav
-
-        sr = cfg.dsp.sample_rate
-        clip = SyntheticTones(1, sr, sr, seed=777)[0]
-        mel = mel_from_wav(cfg, clip)
-        wav = generate_student(
-            cfg, jax.device_get(_serving(state)), mel,
-            jax.random.PRNGKey(step),
-        )
-        write_wav(
-            os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
-        )
+    sample_fn = _student_sample_fn(cfg, data_dir)
 
     return _run(
         cfg,
