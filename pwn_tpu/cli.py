@@ -155,6 +155,13 @@ def main(argv=None) -> int:
                        help="concurrent syntheses before 503 shedding")
     p_srv.add_argument("--max-body-mb", type=int, default=64,
                        help="request-body cap in MB (413 past it)")
+    p_srv.add_argument("--batch-max", type=int, default=4,
+                       help="cross-request dynamic batching: max "
+                            "concurrent streams per device call "
+                            "(1 disables)")
+    p_srv.add_argument("--batch-window-ms", type=float, default=3.0,
+                       help="job gather window once >1 synthesis "
+                            "is pending")
     p_srv.add_argument("overrides", nargs="*")
 
     p_bench = sub.add_parser("bench", help="run the benchmark suite")
@@ -376,7 +383,9 @@ def main(argv=None) -> int:
         serve_forever(cfg, args.workdir, args.host, args.port,
                       chunk_frames=args.chunk_frames,
                       max_pending=args.max_pending,
-                      max_body_bytes=args.max_body_mb * 2 ** 20)
+                      max_body_bytes=args.max_body_mb * 2 ** 20,
+                      batch_max=args.batch_max,
+                      batch_window_ms=args.batch_window_ms)
         return 0
 
     if args.cmd == "bench":

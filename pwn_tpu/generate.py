@@ -265,6 +265,96 @@ def vocode_many(
     return out
 
 
+def _stream_geometry(cfg: Config, chunk_frames: int):
+    """(R, H, CT, WT, WF) for streaming windows: receptive-field prefix,
+    upsampler frame halo, chunk samples, window samples, window frames."""
+    from pwn_tpu.parallel.sp import _sp_mega_geometry
+
+    hop = cfg.dsp.hop_length
+    R, H = _sp_mega_geometry(cfg)
+    CT = chunk_frames * hop
+    WT = CT + R
+    return R, H, CT, WT, WT // hop + 2 * H
+
+
+def _stream_plan(cfg: Config, F: int, chunk_frames: int,
+                 cover_tail: bool):
+    """Window descriptors for streaming synthesis over an F-frame mel:
+    yields (ws, f_start, off, out_off, trim) — base-noise window start
+    (samples), mel window start (frames), cond offset and output offset
+    within the window, and the count of leading samples of the emitted
+    CT-sample chunk to drop (non-zero only for the final partial tail
+    chunk).  Shared by `stream_student_chunks` and the serving batch
+    engine (`serve._BatchEngine`) so the two paths are window-for-window
+    identical."""
+    hop = cfg.dsp.hop_length
+    R, H, CT, WT, WF = _stream_geometry(cfg, chunk_frames)
+    for c in range(F // chunk_frames):
+        start = c * CT
+        ws = max(0, start - R)
+        f_start = min(max(ws // hop - H, 0), F - WF)
+        yield ws, f_start, ws - f_start * hop, start - ws, 0
+    rem = F % chunk_frames
+    if cover_tail and rem:
+        # final partial chunk: the same static window, positioned to END
+        # at the utterance boundary; it re-emits CT samples of which the
+        # first CT - rem*hop overlap already-yielded audio (F >= WF
+        # guarantees T >= WT, so ws >= 0)
+        T = F * hop
+        ws = T - WT
+        f_start = min(max(ws // hop - H, 0), F - WF)
+        yield ws, f_start, ws - f_start * hop, (T - CT) - ws, \
+            CT - rem * hop
+
+
+@functools.lru_cache(maxsize=16)
+def _batched_stream_window_fn(cfg: Config, chunk_frames: int,
+                              batch: int):
+    """Serving batch-engine kernel: ONE jitted call computes one
+    streaming window for `batch` INDEPENDENT single-utterance requests.
+    Each row carries its own request key (base noise is drawn IN-JIT
+    from the same `fold_in(key, block)` random-access stream as
+    `stream_student_chunks`' z_at — per-row window phases must not
+    trigger per-request eager device ops on the axon tunnel), its own
+    cond/output offsets (requests sit at different chunk positions),
+    and its own temperature.  Row i equals the direct streaming path's
+    window for that request — pinned by tests/test_serve.py.
+
+    Inputs: params; mel_win (B, WF, n_mels); keys (B, 2) uint32;
+    ws/off/out_off (B,) int32; temp (B,) float32.  Output (B, CT).
+    """
+    model = make_student(cfg)
+    _, _, CT, WT, _ = _stream_geometry(cfg, chunk_frames)
+    # noise blocks covering any window phase: ws spans < NB*CT - WT + 1
+    NB = WT // CT + 2
+
+    @jax.jit
+    def window_fn(params, mel_win, keys, ws, off, out_off, temp):
+        def row_z(key, w):
+            b0 = w // CT
+            blocks = [
+                sample_base_noise(
+                    cfg, jax.random.fold_in(key, b0 + i), (1, CT))[0]
+                for i in range(NB)
+            ]
+            full = jnp.concatenate(blocks)
+            return jax.lax.dynamic_slice_in_dim(full, w - b0 * CT, WT)
+
+        z = jax.vmap(row_z)(keys, ws) * temp[:, None]
+        cond = model.apply({"params": params}, mel_win,
+                           method="upsample_cond")
+        cond = jax.vmap(
+            lambda c, o: jax.lax.dynamic_slice_in_dim(c, o, WT, axis=0)
+        )(cond, off)
+        wav = model.apply({"params": params}, z, cond,
+                          method="flows_from_z")
+        return jax.vmap(
+            lambda w, o: jax.lax.dynamic_slice_in_dim(w, o, CT, axis=0)
+        )(wav, out_off)
+
+    return window_fn
+
+
 @functools.lru_cache(maxsize=8)
 def _stream_window_fn(cfg: Config, chunk_frames: int):
     """Jitted one-window step for streaming synthesis, cached per
@@ -384,33 +474,14 @@ def stream_student_chunks(
         lo = ws - (ws // CT) * CT
         return full[:, lo: lo + WT]
 
-    n_chunks = F // chunk_frames
-    for c in range(n_chunks):
-        start = c * CT
-        ws = max(0, start - R)
-        f_start = min(max(ws // hop - H, 0), F - WF)
+    for ws, f_start, off, out_off, trim in _stream_plan(
+            cfg, F, chunk_frames, cover_tail):
         mel_win = jnp.asarray(mel[:, f_start: f_start + WF])
-        out = window_fn(
+        out = np.asarray(window_fn(
             student_params, z_at(ws), mel_win,
-            jnp.int32(ws - f_start * hop), jnp.int32(start - ws),
-        )
-        yield np.asarray(out)
-
-    rem = F % chunk_frames
-    if cover_tail and rem:
-        # final partial chunk: the same static window, positioned to
-        # END at the utterance boundary; the window re-emits CT samples
-        # of which the first CT - rem*hop overlap already-yielded audio
-        # and are dropped (F >= WF guarantees T >= WT, so ws >= 0)
-        T = F * hop
-        ws = T - WT
-        f_start = min(max(ws // hop - H, 0), F - WF)
-        mel_win = jnp.asarray(mel[:, f_start: f_start + WF])
-        out = window_fn(
-            student_params, z_at(ws), mel_win,
-            jnp.int32(ws - f_start * hop), jnp.int32((T - CT) - ws),
-        )
-        yield np.asarray(out)[:, CT - rem * hop:]
+            jnp.int32(off), jnp.int32(out_off),
+        ))
+        yield out[:, trim:] if trim else out
 
 
 def generate_teacher(

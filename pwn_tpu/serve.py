@@ -25,8 +25,14 @@ Protocol (stdlib-only, chunked transfer):
   Chunks are produced as the TPU emits them — playback can start ~one
   chunk after the request.
 
-One device, one compute stream: requests serialize on a lock; the
+One device, one compute stream: device calls serialize on a lock; the
 HTTP layer is threaded so health checks never queue behind synthesis.
+With ``batch_max > 1`` (the CLI default) concurrent streaming requests
+are DYNAMICALLY BATCHED — `_BatchEngine` merges up to ``batch_max``
+requests' next windows into one device call with per-row noise keys,
+offsets and temperatures, so N concurrent clients cost ~one client's
+wall instead of N× (the r4 latency study measured 2 clients at the
+same aggregate realtime as 1 under lock serialization).
 
 Resource bounds (VERDICT r3 weak item 5):
 
@@ -47,9 +53,12 @@ from __future__ import annotations
 import io
 import itertools
 import json
+import queue
 import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 from urllib.parse import parse_qs, urlparse
 
 import jax
@@ -82,13 +91,135 @@ class _Deemph:
         return x.astype(np.float32)
 
 
+class _Job(NamedTuple):
+    """One streaming window of one request, queued to `_BatchEngine`."""
+
+    mel_win: np.ndarray    # (1, WF, n_mels) host window
+    key: np.ndarray        # (2,) uint32 request noise key
+    ws: int                # base-noise window start (samples)
+    off: int               # cond offset within the window
+    out_off: int           # output offset within the window
+    temperature: float
+    future: Future         # resolves to the (CT,) waveform row
+
+
+class _BatchEngine:
+    """Cross-request dynamic batching: one device call per streaming
+    window services up to `max_batch` concurrent requests.
+
+    Without it, concurrent requests serialize on the device lock — the
+    r4 latency study measured 2 clients at 9.2× realtime AGGREGATE, the
+    same as one client, because each window ran at batch 1 while the
+    other request waited.  A streaming window at B=4 costs roughly the
+    B=1 wall on v5e (weight reads amortize across rows), so batching
+    multiplies aggregate serving throughput by ~the concurrency.
+
+    Design (all windows run through `generate._batched_stream_window_fn`,
+    whose per-row offsets/keys let requests at DIFFERENT chunk positions
+    share one call):
+
+    - jobs gather for `gather_ms` after the first arrival — but only
+      when another synthesis is actually pending, so a lone client pays
+      no batching latency;
+    - a gathered group is padded to the next power-of-two bucket by
+      repeating row 0 (one compile per bucket, persistent-cached);
+    - the device lock is held only for the batched call, keeping the
+      whole-call fallback path safe to interleave.
+    """
+
+    def __init__(self, service: "VocoderService", max_batch: int = 4,
+                 gather_ms: float = 3.0):
+        self.service = service
+        self.buckets = [b for b in (1, 2, 4, 8, 16) if b <= max_batch]
+        self.max_batch = self.buckets[-1]
+        self.gather_ms = gather_ms
+        self.calls = 0  # batched device calls executed
+        self.rows = 0   # real (non-padding) rows across those calls
+        self.jobs: "queue.Queue[Optional[_Job]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, job: _Job) -> Future:
+        self.jobs.put(job)
+        return job.future
+
+    def stop(self) -> None:
+        self.jobs.put(None)
+        self._thread.join(timeout=10)
+
+    def _run(self) -> None:
+        while True:
+            job = self.jobs.get()
+            if job is None:
+                return
+            batch = [job]
+            # gather only when someone else is mid-synthesis: a lone
+            # stream should not pay gather_ms per window
+            if self.service.pending > 1:
+                deadline = time.monotonic() + self.gather_ms * 1e-3
+                while len(batch) < self.max_batch:
+                    rem = deadline - time.monotonic()
+                    if rem <= 0:
+                        break
+                    try:
+                        nxt = self.jobs.get(timeout=rem)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self.jobs.put(None)  # re-arm shutdown
+                        break
+                    batch.append(nxt)
+            else:
+                # drain whatever is already waiting, without sleeping
+                while len(batch) < self.max_batch:
+                    try:
+                        nxt = self.jobs.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self.jobs.put(None)
+                        break
+                    batch.append(nxt)
+            self._execute(batch)
+
+    def _execute(self, batch) -> None:
+        from pwn_tpu.generate import _batched_stream_window_fn
+
+        k = len(batch)
+        B = next(b for b in self.buckets if b >= k)
+        rows = batch + [batch[0]] * (B - k)
+        try:
+            fn = _batched_stream_window_fn(
+                self.service.cfg, self.service.chunk_frames, B)
+            args = (
+                np.concatenate([r.mel_win for r in rows]),
+                np.stack([r.key for r in rows]),
+                np.asarray([r.ws for r in rows], np.int32),
+                np.asarray([r.off for r in rows], np.int32),
+                np.asarray([r.out_off for r in rows], np.int32),
+                np.asarray([r.temperature for r in rows], np.float32),
+            )
+            with self.service.lock:
+                out = np.asarray(fn(self.service.params, *args))
+        except Exception as e:  # noqa: BLE001 — relay to every waiter
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        self.calls += 1
+        self.rows += k
+        for i, r in enumerate(batch):
+            r.future.set_result(out[i])
+
+
 class VocoderService:
     """Config + params + the device lock; shared by all HTTP threads."""
 
     def __init__(self, cfg: Config, params: Any,
                  chunk_frames: int = 64, max_pending: int = 4,
                  queue_chunks: int = 64,
-                 max_body_bytes: int = 64 * 2 ** 20):
+                 max_body_bytes: int = 64 * 2 ** 20,
+                 batch_max: int = 1,
+                 batch_window_ms: float = 3.0):
         self.cfg = cfg
         self.params = params
         self.chunk_frames = chunk_frames
@@ -100,6 +231,17 @@ class VocoderService:
         self._pending = 0
         self._pending_lock = threading.Lock()
         self.requests_served = 0
+        # cross-request dynamic batching (batch_max > 1): concurrent
+        # streams share one device call per window instead of
+        # serializing on the lock
+        self.engine = (
+            _BatchEngine(self, batch_max, batch_window_ms)
+            if batch_max > 1 else None
+        )
+
+    def close(self) -> None:
+        if self.engine is not None:
+            self.engine.stop()
 
     def try_admit(self) -> bool:
         """Reserve a synthesis slot; False when the server is saturated
@@ -142,7 +284,8 @@ class VocoderService:
                    chunk_frames)
 
     def synthesize_chunks(self, wav: np.ndarray, temperature: float,
-                          chunk_frames: Optional[int] = None):
+                          chunk_frames: Optional[int] = None,
+                          batching: bool = True):
         """Yield deemphasized float32 waveform chunks for a conditioning
         WAVEFORM (copy-synthesis).  The wav->mel runs in host numpy
         (`generate.mel_from_wav_host`, allclose-pinned to the device
@@ -154,11 +297,12 @@ class VocoderService:
 
         return self.synthesize_chunks_from_mel(
             mel_from_wav_host(self.cfg, wav.astype(np.float32))[None],
-            temperature, chunk_frames,
+            temperature, chunk_frames, batching,
         )
 
     def synthesize_chunks_from_mel(self, mel, temperature: float,
-                                   chunk_frames: Optional[int] = None):
+                                   chunk_frames: Optional[int] = None,
+                                   batching: bool = True):
         """Yield deemphasized float32 waveform chunks for a conditioning
         mel (1, F, n_mels) — the production vocoder input (a TTS
         acoustic model's output; convention documented at
@@ -174,8 +318,6 @@ class VocoderService:
         `max_pending` admissions (see the module docstring's resource-
         bounds contract).
         """
-        import queue
-
         from pwn_tpu.generate import (
             generate_student,
             stream_student_chunks,
@@ -213,36 +355,75 @@ class VocoderService:
                     continue
             return False
 
-        def produce() -> None:
+        # engine route: the batch engine keys its compiled kernel to
+        # the service chunk size and single-utterance rows; other
+        # requests use the direct (lock-serialized) streaming path
+        use_engine = (
+            batching
+            and self.engine is not None
+            and cf == self.chunk_frames
+            and mel.shape[0] == 1
+        )
+
+        def produce_batched() -> None:
+            """Stream via the batch engine: windows from the SAME plan
+            as the direct path, executed in cross-request batches (the
+            engine holds the device lock per call, not per request)."""
+            from pwn_tpu.generate import _stream_geometry, _stream_plan
+
+            _, _, _, _, WF = _stream_geometry(self.cfg, cf)
+            if Fp < cf or F < WF:
+                raise ValueError("short utterance")
+            key_np = np.asarray(key, np.uint32)
+            for ws, f_start, off, out_off, trim in _stream_plan(
+                    self.cfg, F, cf, True):
+                fut = self.engine.submit(_Job(
+                    mel[:, f_start: f_start + WF], key_np,
+                    ws, off, out_off, temperature, Future(),
+                ))
+                chunk = fut.result(timeout=600)
+                if trim:
+                    chunk = chunk[trim:]
+                if not put(("chunk", chunk)):
+                    return
+
+        def produce_direct() -> None:
             with self.lock:
+                if Fp < cf:
+                    raise ValueError("short utterance")
+                # cover_tail: the final F % cf frames stream as
+                # one partial chunk instead of being dropped
+                # (up to cf*hop-1 samples — the end of the last
+                # word on real speech)
+                for chunk in stream_student_chunks(
+                    self.cfg, self.params, mel, key=key,
+                    chunk_frames=cf, temperature=temperature,
+                    cover_tail=True,
+                ):
+                    if not put(("chunk", chunk[0])):
+                        return
+
+        def produce() -> None:
+            try:
                 try:
-                    try:
-                        if Fp < cf:
-                            raise ValueError("short utterance")
-                        # cover_tail: the final F % cf frames stream as
-                        # one partial chunk instead of being dropped
-                        # (up to cf*hop-1 samples — the end of the last
-                        # word on real speech)
-                        for chunk in stream_student_chunks(
-                            self.cfg, self.params, mel, key=key,
-                            chunk_frames=cf, temperature=temperature,
-                            cover_tail=True,
-                        ):
-                            if not put(("chunk", chunk[0])):
-                                return
-                    except ValueError:
-                        # shorter than one overlap window: one-shot
-                        # generate_student, which deemphasizes
-                        # internally — emitted as "whole" so the
-                        # consumer skips its deemphasis filter
+                    if use_engine:
+                        produce_batched()
+                    else:
+                        produce_direct()
+                except ValueError:
+                    # shorter than one overlap window: one-shot
+                    # generate_student, which deemphasizes
+                    # internally — emitted as "whole" so the
+                    # consumer skips its deemphasis filter
+                    with self.lock:
                         if not put(("whole", np.asarray(generate_student(
                             self.cfg, self.params, mel, key,
                             temperature=temperature,
                         )))):
                             return
-                except Exception as e:  # noqa: BLE001 — relay to client
-                    put(("error", e))
-                put(("done", None))
+            except Exception as e:  # noqa: BLE001 — relay to client
+                put(("error", e))
+            put(("done", None))
 
         threading.Thread(target=produce, daemon=True).start()
         try:
@@ -284,6 +465,12 @@ def _make_handler(service: VocoderService):
                     "requests_served": service.requests_served,
                     "pending": service.pending,
                     "max_pending": service.max_pending,
+                    "batch_max": (service.engine.max_batch
+                                  if service.engine else 1),
+                    "batch_calls": (service.engine.calls
+                                    if service.engine else 0),
+                    "batch_rows": (service.engine.rows
+                                   if service.engine else 0),
                 })
             else:
                 self._json(404, {"error": "unknown path"})
@@ -330,6 +517,10 @@ def _make_handler(service: VocoderService):
                     temperature = float(q.get("temperature", ["1.0"])[0])
                     cf = int(q.get("chunk_frames",
                                    [str(service.chunk_frames)])[0])
+                    # per-request batching opt-out (A/B + debugging):
+                    # ?batching=off streams via the direct
+                    # lock-serialized path
+                    batching = q.get("batching", ["on"])[0] != "off"
                     body = self.rfile.read(n)
                     if body[:6] == b"\x93NUMPY":
                         # .npy body = direct mel conditioning (the
@@ -356,10 +547,10 @@ def _make_handler(service: VocoderService):
                 try:
                     chunks = (
                         service.synthesize_chunks_from_mel(
-                            mel, temperature, cf)
+                            mel, temperature, cf, batching)
                         if mel is not None
                         else service.synthesize_chunks(
-                            wav, temperature, cf)
+                            wav, temperature, cf, batching)
                     )
                     first = next(chunks)  # surface errors before headers
                 except Exception as e:
@@ -394,10 +585,15 @@ def make_server(service: VocoderService, host: str = "127.0.0.1",
 
 def serve_forever(cfg: Config, workdir: str, host: str, port: int,
                   chunk_frames: int = 64, max_pending: int = 4,
-                  max_body_bytes: int = 64 * 2 ** 20) -> None:
+                  max_body_bytes: int = 64 * 2 ** 20,
+                  batch_max: int = 4,
+                  batch_window_ms: float = 3.0) -> None:
     service = VocoderService.from_workdir(cfg, workdir, chunk_frames)
     service.max_pending = max_pending
     service.max_body_bytes = max_body_bytes
+    if batch_max > 1:
+        service.engine = _BatchEngine(service, batch_max,
+                                      batch_window_ms)
     # warm the window jit so the first request pays no compile
     warm = np.zeros(
         max((chunk_frames + 8) * cfg.dsp.hop_length * 2,
@@ -406,6 +602,24 @@ def serve_forever(cfg: Config, workdir: str, host: str, port: int,
     )
     for _ in service.synthesize_chunks(warm, temperature=1.0):
         pass
+    if service.engine is not None:
+        # pre-compile every batch bucket so the first concurrent burst
+        # pays no compile (persistent cache makes repeats ~free)
+        from pwn_tpu.generate import (
+            _batched_stream_window_fn,
+            _stream_geometry,
+        )
+
+        _, _, _, _, WF = _stream_geometry(cfg, chunk_frames)
+        for B in service.engine.buckets:
+            fn = _batched_stream_window_fn(cfg, chunk_frames, B)
+            np.asarray(fn(
+                service.params,
+                np.zeros((B, WF, cfg.dsp.n_mels), np.float32),
+                np.zeros((B, 2), np.uint32),
+                np.zeros(B, np.int32), np.zeros(B, np.int32),
+                np.zeros(B, np.int32), np.ones(B, np.float32),
+            ))
     srv = make_server(service, host, port)
     print(f"serving {cfg.dsp.sample_rate} Hz vocoder on "
           f"http://{host}:{port}  (POST /synthesize, GET /healthz)")

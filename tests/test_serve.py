@@ -271,6 +271,152 @@ def test_abandoned_consumer_releases_device_lock():
     service.lock.release()
 
 
+def test_batch_engine_rows_match_direct_stream():
+    """Cross-request batching exactness: one batched-kernel call over
+    jobs from DIFFERENT requests (distinct keys, temperatures, window
+    positions — including the partial tail window, and a padded row:
+    3 jobs -> bucket 4) reproduces the direct streaming path's chunks
+    row for row (in-jit fold_in noise ≡ z_at's host block stream)."""
+    from concurrent.futures import Future
+
+    from pwn_tpu.generate import (
+        _stream_geometry,
+        _stream_plan,
+        mel_from_wav,
+        stream_student_chunks,
+    )
+    from pwn_tpu.serve import _Job
+
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(CFG, variables["params"], chunk_frames=8,
+                             batch_max=4)
+    try:
+        sr = CFG.dsp.sample_rate
+        wav = 0.3 * np.sin(
+            2 * np.pi * 260 * np.arange(int(1.5 * sr)) / sr
+        ).astype(np.float32)
+        mel = np.asarray(mel_from_wav(CFG, wav))
+        F = mel.shape[1]
+        _, _, CT, WT, WF = _stream_geometry(CFG, 8)
+        plan = list(_stream_plan(CFG, F, 8, True))
+        assert plan[-1][4] > 0, "test wav should produce a tail chunk"
+        picks = [0, len(plan) // 2, len(plan) - 1]
+        temps = [1.0, 0.8, 0.5]
+        jobs = []
+        for j, (i, T) in enumerate(zip(picks, temps)):
+            ws, f_start, off, out_off, trim = plan[i]
+            jobs.append(_Job(
+                mel[:, f_start: f_start + WF],
+                np.asarray(jax.random.PRNGKey(100 + j), np.uint32),
+                ws, off, out_off, T, Future(),
+            ))
+        service.engine._execute(jobs)
+        for j, (i, T) in enumerate(zip(picks, temps)):
+            got = jobs[j].future.result(timeout=60)
+            assert got.shape == (CT,)
+            ref_chunks = list(stream_student_chunks(
+                CFG, variables["params"], mel,
+                key=jax.random.PRNGKey(100 + j), chunk_frames=8,
+                temperature=T, cover_tail=True,
+            ))
+            trim = plan[i][4]
+            np.testing.assert_allclose(
+                got[trim:], ref_chunks[i][0], rtol=1e-5, atol=1e-5,
+                err_msg=f"row {j} (plan window {i}, T={T})",
+            )
+        assert service.engine.calls == 1
+        assert service.engine.rows == 3
+    finally:
+        service.close()
+
+
+@pytest.fixture(scope="module")
+def server_batched():
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(CFG, variables["params"], chunk_frames=8,
+                             batch_max=4, batch_window_ms=10.0)
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, service
+    srv.shutdown()
+    service.close()
+
+
+def test_concurrent_clients_batched_equal_sequential(server_batched):
+    """With the batch engine on, two concurrent HTTP clients must
+    stream EXACTLY what two sequential requests with the same keys
+    would have — batching (whatever mix of window groupings the race
+    produced) is invisible in the audio."""
+    srv, service = server_batched
+    sr = CFG.dsp.sample_rate
+    wav = 0.25 * np.sin(
+        2 * np.pi * 330 * np.arange(2 * sr) / sr
+    ).astype(np.float32)
+    body = _wav_body(wav, sr)
+    served = service.requests_served
+    outs = [None, None]
+
+    def client(i):
+        conn, r = _post(srv, "/synthesize", body)
+        assert r.status == 200
+        outs[i] = np.frombuffer(r.read(), "<i2").astype(np.float32) \
+            / 32767.0
+        conn.close()
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(o is not None for o in outs)
+
+    # sequential replay with the same two request keys (arrival order
+    # of the concurrent clients is the only nondeterminism)
+    import itertools
+
+    wav_rt = (np.clip(wav, -1, 1) * 32767).astype(np.int16) \
+        .astype(np.float32) / 32768.0
+    service._counter = itertools.count(served)
+    refs = [
+        np.clip(np.concatenate(
+            list(service.synthesize_chunks(wav_rt, temperature=1.0))
+        ), -1.0, 1.0)
+        for _ in range(2)
+    ]
+    service._counter = itertools.count(served + 4)
+    assert not np.allclose(refs[0], refs[1]), \
+        "distinct keys must give distinct noise streams"
+
+    tol = 1.0 / 32767 + 1e-5
+
+    def matches(a, b):
+        return a.shape == b.shape and np.allclose(a, b, atol=tol)
+
+    ok = (matches(outs[0], refs[0]) and matches(outs[1], refs[1])) or \
+         (matches(outs[0], refs[1]) and matches(outs[1], refs[0]))
+    assert ok, "each client's stream must equal one sequential replay"
+    assert service.engine.calls > 0
+
+
+def test_batched_single_client_whole_path(server_batched):
+    """Engine on, one client: output is well-formed and full-length
+    (the no-other-pending fast path must not drop or reorder)."""
+    srv, service = server_batched
+    sr = CFG.dsp.sample_rate
+    wav = 0.25 * np.sin(
+        2 * np.pi * 220 * np.arange(int(1.3 * sr)) / sr
+    ).astype(np.float32)
+    conn, r = _post(srv, "/synthesize?temperature=0.7", _wav_body(wav, sr))
+    assert r.status == 200
+    out = np.frombuffer(r.read(), "<i2").astype(np.float32) / 32767.0
+    conn.close()
+    F = len(wav) // CFG.dsp.hop_length
+    assert len(out) == F * CFG.dsp.hop_length
+    assert np.isfinite(out).all() and np.abs(out).max() > 1e-4
+
+
 def _mel_body(mel):
     buf = io.BytesIO()
     np.save(buf, mel)
