@@ -74,6 +74,23 @@ def main(argv=None) -> int:
     p_dist.add_argument("--workdir", default="runs/student")
     p_dist.add_argument("--data-dir", default=None)
     p_dist.add_argument("--steps", type=int, default=None)
+    p_dist.add_argument("--teacher-step", default="latest",
+                        help="teacher checkpoint step to distill from: "
+                             "an integer, 'latest', or 'auto' "
+                             "(distillability probe: short-distill "
+                             "against every retained teacher ckpt and "
+                             "pick the lowest held-out KL — guards the "
+                             "measured 3x regression from overtrained "
+                             "teachers, BASELINE.md r4)")
+    p_dist.add_argument("--teacher-probe-steps", type=int, default=500,
+                        help="distill steps per candidate for "
+                             "--teacher-step auto")
+    p_dist.add_argument("--teacher-params", choices=["ema", "live"],
+                        default="ema",
+                        help="use the EMA (Polyak-averaged) teacher "
+                             "params when the checkpoint carries them "
+                             "(the Parallel WaveNet recipe) or the "
+                             "live unaveraged params")
     p_dist.add_argument("overrides", nargs="*")
 
     p_gen = sub.add_parser("generate", help="synthesize a waveform")
@@ -211,10 +228,26 @@ def main(argv=None) -> int:
         cfg = _load_config(args.case, args.overrides)
         tcfg = (_load_config(args.teacher_case, args.overrides)
                 if args.teacher_case else cfg)
+        prefer_ema = args.teacher_params == "ema"
+        if args.teacher_step == "auto":
+            from pwn_tpu.training.teacher_select import select_teacher_step
+
+            t_step = select_teacher_step(
+                cfg, args.teacher_workdir, teacher_cfg=tcfg,
+                data_dir=args.data_dir,
+                probe_steps=args.teacher_probe_steps,
+                prefer_ema=prefer_ema,
+            )
+        elif args.teacher_step == "latest":
+            t_step = None
+        else:
+            t_step = int(args.teacher_step)
         _, teacher_params, tstep = load_teacher_params(
-            tcfg, args.teacher_workdir
+            tcfg, args.teacher_workdir, step=t_step,
+            prefer_ema=prefer_ema,
         )
-        print(f"loaded teacher @ step {tstep}")
+        print(f"loaded teacher @ step {tstep} "
+              f"({args.teacher_params} params)")
         res = run_distillation(
             cfg, teacher_params, workdir=args.workdir,
             data_dir=args.data_dir, num_steps=args.steps,

@@ -177,6 +177,16 @@ class DistillConfig:
     # |log sigma_T - log sigma_S|^2 (stabilizes the reverse KL's flat
     # gradient when the student variance collapses; paper uses 4)
     log_sigma_reg_weight: float = 4.0
+    # Parallel WaveNet's CONTRASTIVE term [PW]: additionally MAXIMIZE the
+    # KL between the student and the teacher evaluated under MISMATCHED
+    # conditioning (the same student sample scored against another
+    # utterance's mel, batch-rolled) — down-weights mode collapse onto
+    # conditioning-independent audio.  gamma in the paper's notation;
+    # they report 0.3.  0 keeps the extra teacher pass out of the graph
+    # and the goldens bit-exact.  Rides the same kl_warmup ramp as the
+    # matched KL.  No-op at (per-shard) batch 1, where the roll is the
+    # identity.
+    contrastive_weight: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -191,6 +201,11 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     checkpoint_every: int = 2000
+    # checkpoints retained by the run's CheckpointManager; raise it to
+    # keep a ladder of teacher checkpoints for distillability-aware
+    # teacher selection (training/teacher_select.py — BASELINE.md r4
+    # measured that an overtrained teacher distills 3x worse)
+    keep_checkpoints: int = 3
     log_every: int = 50
     # Polyak/EMA parameter averaging (0 = off): checkpoints then carry
     # ema_params and downstream consumers (generate, the distillation

@@ -73,6 +73,14 @@ def _pcm16(x: np.ndarray) -> bytes:
     return (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
 
+class _ShortUtterance(Exception):
+    """Pre-stream signal: the utterance is shorter than one streaming
+    window, take the whole-call path.  A dedicated type so that a
+    ValueError relayed from the batch engine mid-stream is NOT mistaken
+    for this fallback decision (which would silently append a full
+    whole-utterance synthesis after already-streamed chunks)."""
+
+
 class _Deemph:
     """Streaming 1-pole deemphasis: x[t] = y[t] + coef * x[t-1], state
     carried across chunks so streamed output equals the whole-call
@@ -135,9 +143,29 @@ class _BatchEngine:
         self.gather_ms = gather_ms
         self.calls = 0  # batched device calls executed
         self.rows = 0   # real (non-padding) rows across those calls
+        self.retries = 0  # device-call retries after a transient error
+        # engine-ROUTED streams currently active: the gather heuristic
+        # keys off this, not service.pending, so direct-path/multi-row/
+        # whole-call admissions (which never produce engine jobs) cannot
+        # make a lone batched stream pay gather_ms per window
+        self._streams = 0
+        self._streams_lock = threading.Lock()
         self.jobs: "queue.Queue[Optional[_Job]]" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def stream_started(self) -> None:
+        with self._streams_lock:
+            self._streams += 1
+
+    def stream_done(self) -> None:
+        with self._streams_lock:
+            self._streams -= 1
+
+    @property
+    def active_streams(self) -> int:
+        with self._streams_lock:
+            return self._streams
 
     def submit(self, job: _Job) -> Future:
         self.jobs.put(job)
@@ -153,9 +181,10 @@ class _BatchEngine:
             if job is None:
                 return
             batch = [job]
-            # gather only when someone else is mid-synthesis: a lone
-            # stream should not pay gather_ms per window
-            if self.service.pending > 1:
+            # gather only when another ENGINE-ROUTED stream is active: a
+            # lone stream should not pay gather_ms per window, and
+            # direct-path/whole-call admissions can never co-batch
+            if self.active_streams > 1:
                 deadline = time.monotonic() + self.gather_ms * 1e-3
                 while len(batch) < self.max_batch:
                     rem = deadline - time.monotonic()
@@ -188,7 +217,8 @@ class _BatchEngine:
         k = len(batch)
         B = next(b for b in self.buckets if b >= k)
         rows = batch + [batch[0]] * (B - k)
-        try:
+
+        def run_once():
             fn = _batched_stream_window_fn(
                 self.service.cfg, self.service.chunk_frames, B)
             args = (
@@ -200,11 +230,20 @@ class _BatchEngine:
                 np.asarray([r.temperature for r in rows], np.float32),
             )
             with self.service.lock:
-                out = np.asarray(fn(self.service.params, *args))
-        except Exception as e:  # noqa: BLE001 — relay to every waiter
-            for r in batch:
-                r.future.set_exception(e)
-            return
+                return np.asarray(fn(self.service.params, *args))
+
+        try:
+            out = run_once()
+        except Exception:  # noqa: BLE001 — one retry before failing
+            # a transient device error here would otherwise fail up to
+            # batch_max unrelated client streams at once
+            self.retries += 1
+            try:
+                out = run_once()
+            except Exception as e:  # noqa: BLE001 — relay to waiters
+                for r in batch:
+                    r.future.set_exception(e)
+                return
         self.calls += 1
         self.rows += k
         for i, r in enumerate(batch):
@@ -231,6 +270,16 @@ class VocoderService:
         self._pending = 0
         self._pending_lock = threading.Lock()
         self.requests_served = 0
+        # graceful shutdown: draining stops admissions (503) while
+        # in-flight streams finish (serve_forever's SIGTERM path)
+        self.draining = False
+        # latency observability (VERDICT r4 item 6): client-visible
+        # time-to-first-byte per request, bounded ring for /healthz
+        # p50/p99 — the numbers that made the r4 batching case
+        from collections import deque
+
+        self._ttfb_ms: "deque[float]" = deque(maxlen=512)
+        self._stats_lock = threading.Lock()
         # cross-request dynamic batching (batch_max > 1): concurrent
         # streams share one device call per window instead of
         # serializing on the lock
@@ -246,12 +295,33 @@ class VocoderService:
     def try_admit(self) -> bool:
         """Reserve a synthesis slot; False when the server is saturated
         (the HTTP layer then answers 503 + Retry-After instead of
-        queueing unboundedly behind the device lock)."""
+        queueing unboundedly behind the device lock) or draining for
+        shutdown."""
+        if self.draining:
+            return False
         with self._pending_lock:
             if self._pending >= self.max_pending:
                 return False
             self._pending += 1
             return True
+
+    def observe_ttfb(self, ms: float) -> None:
+        with self._stats_lock:
+            self._ttfb_ms.append(ms)
+
+    def ttfb_stats(self) -> dict:
+        with self._stats_lock:
+            xs = sorted(self._ttfb_ms)
+        if not xs:
+            return {"count": 0}
+        pick = lambda q: xs[min(len(xs) - 1, int(q * len(xs)))]  # noqa: E731
+        return {
+            "count": len(xs),
+            "p50_ms": round(pick(0.50), 1),
+            "p90_ms": round(pick(0.90), 1),
+            "p99_ms": round(pick(0.99), 1),
+            "max_ms": round(xs[-1], 1),
+        }
 
     def release(self) -> None:
         with self._pending_lock:
@@ -264,7 +334,11 @@ class VocoderService:
 
     @classmethod
     def from_workdir(cls, cfg: Config, workdir: str,
-                     chunk_frames: int = 64) -> "VocoderService":
+                     chunk_frames: int = 64,
+                     **kwargs) -> "VocoderService":
+        """Restore a checkpointed student and build the service.  Extra
+        kwargs (max_pending, batch_max, batch_window_ms, ...) pass
+        through to the constructor so CLI wiring lives in ONE place."""
         import os
 
         from pwn_tpu.training.common import serving_params
@@ -281,7 +355,7 @@ class VocoderService:
         # tree as a jit arg re-uploads per chunk call (see loop.py
         # run_distillation for the measured cost of that pattern)
         return cls(cfg, jax.device_put(serving_params(state)),
-                   chunk_frames)
+                   chunk_frames, **kwargs)
 
     def synthesize_chunks(self, wav: np.ndarray, temperature: float,
                           chunk_frames: Optional[int] = None,
@@ -368,29 +442,32 @@ class VocoderService:
         def produce_batched() -> None:
             """Stream via the batch engine: windows from the SAME plan
             as the direct path, executed in cross-request batches (the
-            engine holds the device lock per call, not per request)."""
+            engine holds the device lock per call, not per request).
+            The whole-call fallback decision (_ShortUtterance) is made
+            BEFORE any chunk streams; later errors — including
+            ValueErrors relayed from the engine — propagate as errors."""
             from pwn_tpu.generate import _stream_geometry, _stream_plan
 
             _, _, _, _, WF = _stream_geometry(self.cfg, cf)
-            if Fp < cf or F < WF:
-                raise ValueError("short utterance")
             key_np = np.asarray(key, np.uint32)
-            for ws, f_start, off, out_off, trim in _stream_plan(
-                    self.cfg, F, cf, True):
-                fut = self.engine.submit(_Job(
-                    mel[:, f_start: f_start + WF], key_np,
-                    ws, off, out_off, temperature, Future(),
-                ))
-                chunk = fut.result(timeout=600)
-                if trim:
-                    chunk = chunk[trim:]
-                if not put(("chunk", chunk)):
-                    return
+            self.engine.stream_started()
+            try:
+                for ws, f_start, off, out_off, trim in _stream_plan(
+                        self.cfg, F, cf, True):
+                    fut = self.engine.submit(_Job(
+                        mel[:, f_start: f_start + WF], key_np,
+                        ws, off, out_off, temperature, Future(),
+                    ))
+                    chunk = fut.result(timeout=600)
+                    if trim:
+                        chunk = chunk[trim:]
+                    if not put(("chunk", chunk)):
+                        return
+            finally:
+                self.engine.stream_done()
 
         def produce_direct() -> None:
             with self.lock:
-                if Fp < cf:
-                    raise ValueError("short utterance")
                 # cover_tail: the final F % cf frames stream as
                 # one partial chunk instead of being dropped
                 # (up to cf*hop-1 samples — the end of the last
@@ -406,11 +483,21 @@ class VocoderService:
         def produce() -> None:
             try:
                 try:
+                    # whole-call fallback decided BEFORE any chunk
+                    # streams, from the same geometry both streaming
+                    # paths enforce — so a ValueError relayed later
+                    # (e.g. from the batch engine) is a real error,
+                    # never silently re-routed to a second synthesis
+                    from pwn_tpu.generate import _stream_geometry
+
+                    WF = _stream_geometry(self.cfg, cf)[4]
+                    if Fp < cf or F < WF:
+                        raise _ShortUtterance
                     if use_engine:
                         produce_batched()
                     else:
                         produce_direct()
-                except ValueError:
+                except _ShortUtterance:
                     # shorter than one overlap window: one-shot
                     # generate_student, which deemphasizes
                     # internally — emitted as "whole" so the
@@ -471,6 +558,17 @@ def _make_handler(service: VocoderService):
                                     if service.engine else 0),
                     "batch_rows": (service.engine.rows
                                    if service.engine else 0),
+                    # realized co-batching occupancy (rows per device
+                    # call) + retry count — the production view of the
+                    # r4 batching A/B
+                    "batch_rows_per_call": (
+                        round(service.engine.rows
+                              / max(service.engine.calls, 1), 2)
+                        if service.engine else None),
+                    "batch_retries": (service.engine.retries
+                                      if service.engine else 0),
+                    "ttfb": service.ttfb_stats(),
+                    "draining": service.draining,
                 })
             else:
                 self._json(404, {"error": "unknown path"})
@@ -499,6 +597,7 @@ def _make_handler(service: VocoderService):
             # shed load BEFORE paying for body decode/resample/mel
             # parse: a saturated server answering 503 late still burns
             # seconds of CPU per shed request on big bodies
+            t_admit = time.monotonic()
             if not service.try_admit():
                 self.close_connection = True  # body unread
                 self.send_response(503)
@@ -556,6 +655,7 @@ def _make_handler(service: VocoderService):
                 except Exception as e:
                     self._json(500, {"error": repr(e)})
                     return
+                service.observe_ttfb((time.monotonic() - t_admit) * 1e3)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/L16")
                 self.send_header("X-Sample-Rate", str(sr))
@@ -583,17 +683,29 @@ def make_server(service: VocoderService, host: str = "127.0.0.1",
     return ThreadingHTTPServer((host, port), _make_handler(service))
 
 
+def drain_and_close(service: VocoderService, srv: ThreadingHTTPServer,
+                    timeout_s: float = 30.0) -> None:
+    """Graceful shutdown (VERDICT r4 item 6): stop admissions (503),
+    wait for in-flight streams to finish, then stop the engine thread
+    and close the listener — instead of daemon-killing mid-stream."""
+    service.draining = True
+    deadline = time.monotonic() + timeout_s
+    while service.pending > 0 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    service.close()
+    srv.server_close()
+
+
 def serve_forever(cfg: Config, workdir: str, host: str, port: int,
                   chunk_frames: int = 64, max_pending: int = 4,
                   max_body_bytes: int = 64 * 2 ** 20,
                   batch_max: int = 4,
                   batch_window_ms: float = 3.0) -> None:
-    service = VocoderService.from_workdir(cfg, workdir, chunk_frames)
-    service.max_pending = max_pending
-    service.max_body_bytes = max_body_bytes
-    if batch_max > 1:
-        service.engine = _BatchEngine(service, batch_max,
-                                      batch_window_ms)
+    service = VocoderService.from_workdir(
+        cfg, workdir, chunk_frames, max_pending=max_pending,
+        max_body_bytes=max_body_bytes, batch_max=batch_max,
+        batch_window_ms=batch_window_ms,
+    )
     # warm the window jit so the first request pays no compile
     warm = np.zeros(
         max((chunk_frames + 8) * cfg.dsp.hop_length * 2,
@@ -621,6 +733,23 @@ def serve_forever(cfg: Config, workdir: str, host: str, port: int,
                 np.zeros(B, np.int32), np.ones(B, np.float32),
             ))
     srv = make_server(service, host, port)
+
+    # SIGTERM/SIGINT -> stop accepting, drain in-flight streams, stop
+    # the engine thread, close the socket (clean production shutdown)
+    import signal
+
+    def _shutdown(signum, frame):
+        print(f"signal {signum}: draining "
+              f"{service.pending} in-flight streams...", flush=True)
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _shutdown)
+
     print(f"serving {cfg.dsp.sample_rate} Hz vocoder on "
           f"http://{host}:{port}  (POST /synthesize, GET /healthz)")
-    srv.serve_forever()
+    try:
+        srv.serve_forever()
+    finally:
+        drain_and_close(service, srv)
+        print("server stopped", flush=True)

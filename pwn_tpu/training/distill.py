@@ -20,6 +20,14 @@ with the KL estimated pathwise per z-sample:
 
 The teacher's params are a frozen input artifact (stop-gradient); gradients
 flow into the student pathwise through x_S.
+
+Of the Parallel WaveNet paper's four loss terms [PW], three are
+implemented: KL (above), power (above), and CONTRASTIVE
+(`distill.contrastive_weight`: the same student sample also scored under
+batch-rolled mismatched conditioning, that KL maximized — A/B'd in
+BASELINE.md r5).  The fourth, the PERCEPTUAL loss, requires a pretrained
+speech classifier, which cannot exist in this zero-egress environment —
+documented as out of scope rather than silently absent.
 """
 
 from __future__ import annotations
@@ -115,11 +123,20 @@ def distillation_losses(
     dc = cfg.distill
     objective = resolve_objective(cfg)
 
+    # Parallel WaveNet's contrastive conditioning [PW]: the same student
+    # sample is ALSO scored under another utterance's mel (batch roll);
+    # maximizing that mismatched KL penalizes conditioning-independent
+    # audio.  Static guard keeps the extra teacher pass (and any graph
+    # change) out when the weight is 0 — the goldens pin that graph.
+    contrastive = dc.contrastive_weight > 0.0
+    mel_mis = jnp.roll(mel, 1, axis=0) if contrastive else None
+
     def one_sample(k):
         z = sample_base_noise(cfg, k, x_ref.shape)
         out = student.apply({"params": student_params}, z, mel)
         x_s = out.wav
         t_out = teacher.apply({"params": teacher_params}, x_s, mel)
+        kl_mis = jnp.float32(0)
         if objective == "closed_form":
             # ClariNet: q = N(mu_total, exp(log_det)^2) — the student's
             # exact conditional given its own causal sample path — vs the
@@ -134,6 +151,15 @@ def distillation_losses(
             reg = jnp.mean(jnp.square(log_s_t - out.log_det))
             ent = jnp.mean(-out.log_p_student)
             xent = kl + ent  # E_q[-log p] = KL + H(q), both exact here
+            if contrastive:
+                t_mis = teacher.apply(
+                    {"params": teacher_params}, x_s, mel_mis
+                )
+                mu_m, log_s_m = gaussian.split_params(t_mis)
+                log_s_m = jnp.maximum(log_s_m, cfg.teacher.log_scale_min)
+                kl_mis = jnp.mean(gaussian.kl_gaussian(
+                    out.mu_total, out.log_det, mu_m, log_s_m
+                ))
         else:
             if cfg.teacher.output == "gaussian":
                 mu_t, log_s_t = gaussian.split_params(t_out)
@@ -148,18 +174,38 @@ def distillation_losses(
             reg = jnp.float32(0)
             ent = jnp.mean(-log_p_s)
             xent = jnp.mean(-log_p_t)
+            if contrastive:
+                t_mis = teacher.apply(
+                    {"params": teacher_params}, x_s, mel_mis
+                )
+                if cfg.teacher.output == "gaussian":
+                    mu_m, log_s_m = gaussian.split_params(t_mis)
+                    log_s_m = jnp.maximum(log_s_m,
+                                          cfg.teacher.log_scale_min)
+                    log_p_t_mis = gaussian.gaussian_log_density(
+                        x_s, mu_m, log_s_m
+                    )
+                else:
+                    log_p_t_mis = mol.mol_log_density(
+                        x_s, t_mis, cfg.teacher.log_scale_min
+                    )
+                kl_mis = jnp.mean(log_p_s - log_p_t_mis)
         power = spectral_power_loss(x_s, x_ref, cfg)
-        return kl, reg, power, ent, xent
+        return kl, reg, power, ent, xent, kl_mis
 
     # static python loop over the (small) sample count — a vmap here
     # produces batched-FFT layouts XLA:CPU's fft thunk rejects when the
     # batch is sharded, and n_kl_samples is 1-4 anyway.
     keys = jax.random.split(key, dc.n_kl_samples)
     acc = [one_sample(keys[i]) for i in range(dc.n_kl_samples)]
-    kl, reg, power, ent, xent = (
-        sum(t[i] for t in acc) / dc.n_kl_samples for i in range(5)
+    kl, reg, power, ent, xent, kl_mis = (
+        sum(t[i] for t in acc) / dc.n_kl_samples for i in range(6)
     )
-    total = kl_weight_at(cfg, step) * kl + dc.power_loss_weight * power
+    # contrastive [PW]: minimize KL(matched) - gamma * KL(mismatched);
+    # both ride the warmup ramp so the power loss anchors early training
+    kl_term = kl - dc.contrastive_weight * kl_mis if contrastive else kl
+    total = kl_weight_at(cfg, step) * kl_term \
+        + dc.power_loss_weight * power
     metrics = {
         "loss": total,
         "kl": kl,
@@ -167,6 +213,8 @@ def distillation_losses(
         "student_entropy": ent,
         "teacher_xent": xent,
     }
+    if contrastive:
+        metrics["contrastive_kl"] = kl_mis
     if objective == "closed_form":
         # ClariNet's variance regularizer rides the same warmup ramp as
         # the KL it stabilizes

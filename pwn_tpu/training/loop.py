@@ -133,6 +133,7 @@ def _student_sample_fn(cfg: Config, data_dir: Optional[str]):
         write_wav(
             os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
         )
+        return wav
 
     return sample_fn
 
@@ -157,7 +158,8 @@ def _run(
     start_step = 0
     if workdir:
         ckpt = CheckpointManager(
-            os.path.join(os.path.abspath(workdir), f"ckpt_{tag}")
+            os.path.join(os.path.abspath(workdir), f"ckpt_{tag}"),
+            max_to_keep=cfg.train.keep_checkpoints,
         )
         if ckpt.latest_step() is not None:
             state, start_step = ckpt.restore(state)
@@ -253,10 +255,14 @@ def _run(
         if ckpt and at_ckpt:
             ckpt.save(step + 1, jax.device_get(state))
             if sample_fn and workdir and jax.process_index() == 0:
-                # audio progress artifact (the reference's TensorBoard
-                # audio-summary equivalent [R], SURVEY.md §5 metrics row)
-                sample_fn(state, step + 1,
-                          os.path.join(workdir, "samples"))
+                # audio progress artifact: wav dump + native TensorBoard
+                # audio summary (the reference's TB audio mechanism [R],
+                # SURVEY.md:300-304; VERDICT r4 item 7)
+                wav = sample_fn(state, step + 1,
+                                os.path.join(workdir, "samples"))
+                if wav is not None and logger:
+                    logger.add_audio(step + 1, "samples/audio", wav,
+                                     cfg.dsp.sample_rate)
     profiler.close()
     if ckpt:
         ckpt.wait()
@@ -324,6 +330,7 @@ def run_teacher_training(
         write_wav(
             os.path.join(samples_dir, f"step_{step:08d}.wav"), wav, sr
         )
+        return wav
 
     return _run(
         cfg, state, step_fn, tuple, workdir, num_steps, data_dir,
@@ -478,11 +485,15 @@ def abstract_state_template(cfg: Config, kind: str):
     return jax.eval_shape(build, jax.random.PRNGKey(cfg.train.seed))
 
 
-def load_teacher_params(cfg: Config, workdir: str):
+def load_teacher_params(cfg: Config, workdir: str,
+                        step: Optional[int] = None,
+                        prefer_ema: bool = True):
     """Restore teacher params from a training workdir (frozen distillation
     input artifact, BASELINE config[2]).  When the checkpoint carries EMA
-    params (train.ema_decay > 0), those are returned — Parallel WaveNet
-    distilled from the averaged teacher [PW]."""
+    params (train.ema_decay > 0) and `prefer_ema`, those are returned —
+    Parallel WaveNet distilled from the averaged teacher [PW];
+    `prefer_ema=False` selects the live (non-averaged) params for A/Bs.
+    `step` picks a specific retained checkpoint (default: latest)."""
     from pwn_tpu.models.teacher import make_teacher
     from pwn_tpu.training.common import serving_params
 
@@ -491,6 +502,17 @@ def load_teacher_params(cfg: Config, workdir: str):
     ckpt = CheckpointManager(
         os.path.join(os.path.abspath(workdir), "ckpt_teacher")
     )
-    state, step = ckpt.restore(state)
+    state, step = ckpt.restore(state, step=step)
     ckpt.close()
-    return model, serving_params(state), step
+    params = serving_params(state) if prefer_ema else state.params
+    return model, params, step
+
+
+def teacher_checkpoint_steps(workdir: str):
+    """Retained teacher checkpoint steps in a workdir, ascending."""
+    ckpt = CheckpointManager(
+        os.path.join(os.path.abspath(workdir), "ckpt_teacher")
+    )
+    steps = ckpt.all_steps()
+    ckpt.close()
+    return steps

@@ -32,6 +32,11 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def all_steps(self):
+        """Retained checkpoint steps, ascending (the candidate ladder
+        for distillability-aware teacher selection)."""
+        return sorted(self._mngr.all_steps())
+
     def restore(self, state_template: Any,
                 step: Optional[int] = None) -> Tuple[Any, int]:
         """Restore into the structure/shardings of `state_template`."""

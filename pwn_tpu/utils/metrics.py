@@ -52,6 +52,14 @@ class MetricsLogger:
         if self._echo:
             print(line, file=sys.stderr)
 
+    def add_audio(self, step: int, tag: str, wav, sample_rate: int) -> None:
+        """Emit a TensorBoard audio summary (the reference's audio-
+        progress mechanism [R], SURVEY.md:300-304) when a TB dir is
+        configured; no-op otherwise."""
+        if self._tb:
+            self._tb.add_audio(tag, wav, sample_rate, step=step)
+            self._tb.flush()
+
     def close(self) -> None:
         if self._file:
             self._file.close()

@@ -66,6 +66,21 @@ def test_training_loop_checkpoint_resume(tmp_path):
     # teacher AR audio artifacts at checkpoint cadence
     samples = os.listdir(os.path.join(wd, "samples"))
     assert any(s.endswith(".wav") for s in samples)
+    # ... and the same audio lands in the native TB event files (the
+    # reference's TB audio-summary mechanism [R]; VERDICT r4 item 7)
+    from pwn_tpu.utils.tensorboard import read_events
+
+    tb_dir = os.path.join(wd, "tb_teacher")
+    evs = []
+    for f in sorted(os.listdir(tb_dir)):
+        evs += read_events(os.path.join(tb_dir, f))
+    audio = [e for e in evs
+             if "samples/audio" in e.get("summary", {})]
+    assert audio, "no TB audio summaries emitted"
+    # audio proto: field 1 sample_rate, 4 encoded wav bytes
+    a = audio[0]["summary"]["samples/audio"]
+    assert a[1] == cfg.dsp.sample_rate
+    assert a[4][:4] == b"RIFF"
 
 
 def test_student_direct_training_loop(tmp_path):

@@ -417,6 +417,163 @@ def test_batched_single_client_whole_path(server_batched):
     assert np.isfinite(out).all() and np.abs(out).max() > 1e-4
 
 
+def test_healthz_latency_stats_and_occupancy(server):
+    """/healthz carries TTFB percentiles + realized batch occupancy
+    (VERDICT r4 item 6: the serving observability that made the r4
+    batching case must live in the server, not an offline script)."""
+    import json
+
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    wav = 0.2 * np.sin(
+        2 * np.pi * 220 * np.arange(int(1.0 * sr)) / sr
+    ).astype(np.float32)
+    conn, r = _post(srv, "/synthesize", _wav_body(wav, sr))
+    assert r.status == 200
+    r.read(); conn.close()
+
+    conn = http.client.HTTPConnection(*srv.server_address, timeout=60)
+    conn.request("GET", "/healthz")
+    body = json.loads(conn.getresponse().read())
+    conn.close()
+    assert body["ttfb"]["count"] >= 1
+    assert body["ttfb"]["p50_ms"] > 0
+    assert body["ttfb"]["p99_ms"] >= body["ttfb"]["p50_ms"]
+    assert body["draining"] is False
+    assert "batch_rows_per_call" in body and "batch_retries" in body
+
+
+def test_draining_sheds_with_503(server):
+    """Graceful-shutdown admission stop: draining answers 503 while the
+    listener is still up (serve_forever's SIGTERM path flips this, then
+    drain_and_close waits for pending to hit 0)."""
+    srv, service = server
+    sr = CFG.dsp.sample_rate
+    wav = 0.2 * np.sin(
+        2 * np.pi * 220 * np.arange(sr) / sr
+    ).astype(np.float32)
+    service.draining = True
+    try:
+        conn, r = _post(srv, "/synthesize", _wav_body(wav, sr))
+        assert r.status == 503
+        assert r.getheader("Retry-After")
+        r.read(); conn.close()
+    finally:
+        service.draining = False
+
+
+def test_drain_and_close_waits_for_pending():
+    from pwn_tpu.serve import drain_and_close, make_server
+
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(CFG, variables["params"], chunk_frames=8,
+                             batch_max=2)
+    srv = make_server(service, "127.0.0.1", 0)
+    assert service.try_admit()
+    t0 = [None]
+
+    def release_later():
+        import time
+
+        time.sleep(0.4)
+        t0[0] = "released"
+        service.release()
+
+    threading.Thread(target=release_later, daemon=True).start()
+    drain_and_close(service, srv, timeout_s=10.0)
+    assert t0[0] == "released"  # waited for the in-flight stream
+    assert service.pending == 0
+    assert service.draining
+    # engine thread stopped
+    assert not service.engine._thread.is_alive()
+
+
+def test_batch_engine_retries_transient_failure(monkeypatch):
+    """One transient device-call failure must not fail every co-batched
+    stream: the engine retries the call once (ADVICE r4)."""
+    from concurrent.futures import Future
+
+    import pwn_tpu.generate as gen_mod
+    from pwn_tpu.serve import _Job
+
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(CFG, variables["params"], chunk_frames=8,
+                             batch_max=2)
+    try:
+        calls = {"n": 0}
+
+        def flaky(cfg, cf, B):
+            def fn(params, mels, keys, ws, off, out_off, temp):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise RuntimeError("transient device error")
+                return np.ones((B, 8 * cfg.dsp.hop_length), np.float32)
+
+            return fn
+
+        monkeypatch.setattr(gen_mod, "_batched_stream_window_fn", flaky)
+        job = _Job(
+            np.zeros((1, 16, CFG.dsp.n_mels), np.float32),
+            np.zeros(2, np.uint32), 0, 0, 0, 1.0, Future(),
+        )
+        service.engine._execute([job])
+        out = job.future.result(timeout=30)
+        assert out.shape == (8 * CFG.dsp.hop_length,)
+        assert service.engine.retries == 1
+        assert service.engine.calls == 1
+
+        # a PERSISTENT failure still fails the waiters (after 1 retry)
+        calls["n"] = -10**9  # always raise
+        job2 = _Job(
+            np.zeros((1, 16, CFG.dsp.n_mels), np.float32),
+            np.zeros(2, np.uint32), 0, 0, 0, 1.0, Future(),
+        )
+
+        def always_fail(cfg, cf, B):
+            def fn(*a):
+                raise ValueError("hard failure")
+
+            return fn
+
+        monkeypatch.setattr(gen_mod, "_batched_stream_window_fn",
+                            always_fail)
+        service.engine._execute([job2])
+        with pytest.raises(ValueError):
+            job2.future.result(timeout=30)
+    finally:
+        service.close()
+
+
+def test_engine_valueerror_not_mistaken_for_short_utterance(monkeypatch):
+    """ADVICE r4: a ValueError relayed from the batch engine mid-stream
+    must surface as an ERROR, not trigger the short-utterance
+    whole-call fallback (which would append a full synthesis after
+    already-streamed chunks)."""
+    import pwn_tpu.generate as gen_mod
+
+    _, variables = init_student(CFG, jax.random.PRNGKey(0))
+    service = VocoderService(CFG, variables["params"], chunk_frames=8,
+                             batch_max=2)
+    try:
+        def always_fail(cfg, cf, B):
+            def fn(*a):
+                raise ValueError("looks like a bad-arg error")
+
+            return fn
+
+        monkeypatch.setattr(gen_mod, "_batched_stream_window_fn",
+                            always_fail)
+        sr = CFG.dsp.sample_rate
+        wav = 0.2 * np.sin(
+            2 * np.pi * 220 * np.arange(2 * sr) / sr
+        ).astype(np.float32)
+        with pytest.raises(ValueError, match="bad-arg"):
+            for _ in service.synthesize_chunks(wav, temperature=1.0):
+                pass
+    finally:
+        service.close()
+
+
 def _mel_body(mel):
     buf = io.BytesIO()
     np.save(buf, mel)

@@ -198,6 +198,69 @@ def test_distill_teacher_params_frozen(rng):
     )
 
 
+def test_contrastive_distillation_term(rng):
+    """Parallel WaveNet's contrastive conditioning term [PW]
+    (VERDICT r4 next-item 2): the same student sample scored under
+    batch-ROLLED mel; loss = klw*(kl - gamma*kl_mis) + power.
+
+    - identity check: with two IDENTICAL batch rows the roll is a
+      no-op, so contrastive_kl == kl exactly and the loss reduces to
+      (1-gamma)*kl + power;
+    - with distinct rows contrastive_kl != kl (mismatched teacher);
+    - gamma=0 emits no contrastive_kl metric (goldens graph unchanged);
+    - a train step under gamma=0.3 stays finite and descends."""
+    from pwn_tpu.training.distill import distillation_losses
+    from pwn_tpu.training.teacher import prepare_batch
+
+    cfg = override(CFG, "distill.contrastive_weight", 0.3)
+    teacher, t_vars = init_teacher(cfg, jax.random.PRNGKey(0))
+    student, s_vars = init_student(cfg, jax.random.PRNGKey(1))
+
+    wav = _batch(rng, B=2)
+    same = jnp.concatenate([wav[:1], wav[:1]])  # roll == identity
+    x_ref, mel = prepare_batch(same, cfg)
+    loss, m = distillation_losses(
+        student, teacher, s_vars["params"], t_vars["params"],
+        x_ref, mel, jax.random.PRNGKey(3), cfg,
+    )
+    assert "contrastive_kl" in m
+    np.testing.assert_allclose(
+        float(m["contrastive_kl"]), float(m["kl"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(loss),
+        (1 - 0.3) * float(m["kl"]) + float(m["power_loss"]),
+        rtol=1e-5,
+    )
+
+    x_ref2, mel2 = prepare_batch(wav, cfg)
+    _, m2 = distillation_losses(
+        student, teacher, s_vars["params"], t_vars["params"],
+        x_ref2, mel2, jax.random.PRNGKey(3), cfg,
+    )
+    assert float(m2["contrastive_kl"]) != float(m2["kl"])
+
+    _, m0 = distillation_losses(
+        student, teacher, s_vars["params"], t_vars["params"],
+        x_ref2, mel2, jax.random.PRNGKey(3), CFG,
+    )
+    assert "contrastive_kl" not in m0
+
+    state = create_train_state(
+        s_vars["params"], cfg.train, rng=jax.random.PRNGKey(2)
+    )
+    step = make_distill_train_step(student, teacher, cfg)
+    losses = []
+    for _ in range(12):
+        state, mm = step(state, t_vars["params"], wav)
+        losses.append(float(mm["loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(mm["contrastive_kl"]))
+    # the -gamma*kl_mis term makes early steps non-monotone on a
+    # random init; require eventual descent, not per-step descent
+    assert min(losses) < losses[0]
+
+
 @pytest.mark.slow
 def test_overfit_single_clip_cpu(rng):
     """SURVEY.md §4 integration row: tiny teacher overfits one clip on
