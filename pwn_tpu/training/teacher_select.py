@@ -135,15 +135,25 @@ def select_teacher_step(
     probe_steps: int = 500,
     candidates: Optional[List[int]] = None,
     prefer_ema: bool = True,
+    criterion: str = "val_loss",
 ) -> int:
-    """The candidate teacher step with the lowest probe val KL."""
+    """The candidate teacher step with the lowest probe `criterion`.
+
+    Default criterion is the TOTAL probe loss (KL + power at full
+    weight), NOT the KL alone — measured r5 (BASELINE.md): an
+    early/noisy teacher is the EASIEST to match in KL (probe val KL
+    0.11 at teacher step 6k vs 0.92 at 20k) yet its distilled student
+    inherits the teacher's noise floor (-6.4 dBFS vs the baseline's
+    -37); the power term scores the student against the ground-truth
+    waveform, which exposes exactly that failure.
+    """
     results = probe_teacher_checkpoints(
         cfg, teacher_workdir, teacher_cfg=teacher_cfg, data_dir=data_dir,
         probe_steps=probe_steps, candidates=candidates,
         prefer_ema=prefer_ema,
     )
-    best = min(results, key=lambda r: r.get("val_kl", float("inf")))
+    best = min(results, key=lambda r: r.get(criterion, float("inf")))
     print(f"[teacher-probe] selected teacher step "
-          f"{best['teacher_step']} (val_kl {best.get('val_kl'):.4f})",
-          flush=True)
+          f"{best['teacher_step']} ({criterion} "
+          f"{best.get(criterion):.4f})", flush=True)
     return best["teacher_step"]
