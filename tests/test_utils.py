@@ -66,6 +66,18 @@ def test_config_round_trips_and_properties():
     with pytest.raises(KeyError):
         override(cfg, "teacher.not_a_field", 1)
 
+    # the measured best-recipe preset (BASELINE.md r5) carries every
+    # quality lever; student_iaf keeps the plain golden-pinned loss
+    best = get_config("student_iaf_best")
+    assert best.distill.contrastive_weight == 0.3
+    assert best.distill.kl_warmup_steps == 1000
+    assert len(best.distill.power_loss_resolutions) == 2
+    assert best.train.ema_decay > 0
+    assert best.train.keep_checkpoints == 10
+    plain = get_config("student_iaf")
+    assert plain.distill.contrastive_weight == 0.0
+    assert plain.distill.power_loss_resolutions == ()
+
 
 def test_audio_io_clipping_and_stereo(tmp_path):
     # overdriven audio is peak-normalized, not wrapped
