@@ -45,7 +45,7 @@ def _free_port() -> int:
 
 
 def _launch(workdir: str, num_steps: int, global_batch: int = 16,
-            crop: int = 512):
+            crop: int = 512, extra=()):
     port = _free_port()
     procs = []
     for i in range(2):
@@ -60,7 +60,7 @@ def _launch(workdir: str, num_steps: int, global_batch: int = 16,
         )
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, workdir, str(num_steps),
-             str(global_batch), str(crop)],
+             str(global_batch), str(crop)] + list(extra),
             env=env, cwd="/root/repo",
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
@@ -210,6 +210,104 @@ def test_loop_level_two_process_kill_resume(tmp_path):
             f"trajectory envelope violated at step {s}: "
             f"{loss_a[s]} vs {single[s]}"
         )
+
+
+@pytest.mark.slow
+def test_loop_level_two_process_distillation(tmp_path):
+    """The DISTILLATION loop across 2 real processes (VERDICT r4 item 3
+    'then distillation'): 60 steps of `run_distillation` against a
+    frozen teacher checkpoint, metrics finite with held-out val rows,
+    and the early loss trajectory equal to a single-process loop over
+    the concatenated per-host batches.
+
+    The single-process comparison is exact in expectation because both
+    topologies shard the data axis 8 ways (2x4 virtual devices vs 1x8),
+    so the per-shard KL noise keys (fold_in of the shard index) are
+    IDENTICAL — only fp reduction order differs."""
+    import jax
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from loop_worker import micro_config
+
+    cfg = micro_config(16, 512)
+
+    # 1. a frozen teacher artifact, trained single-process in-test
+    from pwn_tpu.training.loop import (
+        load_teacher_params,
+        run_teacher_training,
+    )
+
+    wd_t = str(tmp_path / "teacher")
+    run_teacher_training(cfg, workdir=wd_t, num_steps=4)
+
+    # 2. two-process distillation loop
+    steps = 60
+    wd_d = str(tmp_path / "distill")
+    _finish(_launch(wd_d, steps, extra=("distill", wd_t)))
+    # distillation writes metrics_student.jsonl
+    path = os.path.join(wd_d, "metrics_student.jsonl")
+    recs = [json.loads(line) for line in open(path)]
+    loss_d = _loss_by_step(recs)
+    assert 0 in loss_d and max(loss_d) == steps - 1
+    assert all(np.isfinite(v) for v in loss_d.values())
+    kl = [r["kl"] for r in recs if "kl" in r]
+    assert kl and all(np.isfinite(v) for v in kl)
+    val = [r for r in recs if "val_kl" in r]
+    assert val and all(np.isfinite(r["val_kl"]) for r in val)
+
+    # 3. single-process equivalence (early trajectory)
+    from pwn_tpu.data import SyntheticTones, make_train_iterator
+    from pwn_tpu.models.student import init_student
+    from pwn_tpu.models.teacher import make_teacher
+    from pwn_tpu.parallel.mesh import make_mesh, shard_batch
+    from pwn_tpu.training.common import create_train_state
+    from pwn_tpu.training.distill import make_distill_train_step
+
+    mesh = make_mesh(cfg.mesh)
+    teacher = make_teacher(cfg, use_scan=True)
+    _, t_params, _ = load_teacher_params(cfg, wd_t)
+    student, s_vars = init_student(
+        cfg, jax.random.PRNGKey(cfg.train.seed + 1), use_scan=False
+    )
+    state = create_train_state(
+        s_vars["params"], cfg.train,
+        rng=jax.random.PRNGKey(cfg.train.seed + 2),
+    )
+    step_fn = make_distill_train_step(student, teacher, cfg, mesh=mesh)
+    t_rep = jax.device_put(
+        t_params,
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    sr = cfg.dsp.sample_rate
+    its = [
+        make_train_iterator(
+            SyntheticTones(n_clips=64, n_samples=max(512, sr),
+                           sample_rate=sr, seed=h),
+            cfg, 8, seed=cfg.train.seed, start_step=0,
+        )
+        for h in range(2)
+    ]
+    single = {}
+    for step in range(40):
+        batch = np.concatenate([next(its[0]), next(its[1])])
+        state, metrics = step_fn(state, t_rep, shard_batch(mesh, batch))
+        if step % cfg.train.log_every == 0:
+            single[step] = float(metrics["loss"])
+    # same fp-reduction-order chaos as the teacher test: tight early,
+    # envelope later (measured: rtol 1.1e-3 by step 30)
+    for s in sorted(single):
+        if s < 30:
+            np.testing.assert_allclose(
+                loss_d[s], single[s], rtol=1e-3,
+                err_msg=f"2-process vs single-process distill "
+                        f"divergence at step {s}",
+            )
+        else:
+            assert 0.9 < loss_d[s] / single[s] < 1.1, (
+                f"distill trajectory envelope violated at step {s}: "
+                f"{loss_d[s]} vs {single[s]}"
+            )
 
 
 @pytest.mark.slow
